@@ -1,0 +1,47 @@
+"""compeg_tpu — a TPU-native JPEG decode engine.
+
+A from-scratch reimplementation of the capabilities of SludgePhD/Compeg
+(a wgpu/WGSL GPU JPEG decoder) for TPUs: the host side (container parsing,
+Huffman table construction, scan preprocessing) runs in C++/Python, and the
+compute path (restart-segment-parallel Huffman entropy decode, dequant +
+IDCT, chroma upsampling + YCbCr->RGB) runs as Pallas/XLA kernels, scaling
+over device meshes with jax.sharding.
+
+Public API (mirroring the reference's surface, src/lib.rs):
+
+    ImageData / analyze   — parse + validate a JPEG (reference ImageData::new)
+    Decoder               — per-stream decode state (reference Decoder)
+    decode_rgb            — one-shot decode to an [H, W, 3] u8 array
+    CompegError           — the single error type (reference Error)
+"""
+
+from .errors import CompegError
+from .metadata import ImageData, analyze
+from .huffman import CanonicalTable, build_table, default_tables
+from . import parser, scan, golden, encoder
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CompegError",
+    "ImageData",
+    "analyze",
+    "CanonicalTable",
+    "build_table",
+    "default_tables",
+    "parser",
+    "scan",
+    "golden",
+    "encoder",
+    "__version__",
+]
+
+
+def decode_rgb(data: bytes, **kw):
+    """Decode a JPEG to an ``[H, W, 3]`` u8 RGB array on the default device.
+
+    Lazy import so host-only users never pull in jax.
+    """
+    from .pipeline import decode_rgb as _decode
+
+    return _decode(data, **kw)

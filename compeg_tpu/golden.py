@@ -1,0 +1,212 @@
+"""Golden CPU decoder — the bit-exactness oracle for the TPU pipeline.
+
+Plays the role the reference's ``src/bits.rs`` prototype plays (the CPU model
+of the device kernels, src/bits.rs:1-6), extended to the full pipeline:
+entropy decode -> dequant -> float32 matrix IDCT -> +128.5/clamp/truncate ->
+nearest-neighbor chroma upsampling -> integer BT.601 color conversion with
+the reference's exact fixed-point constants (src/dct.wgsl:323-334).
+
+Every TPU stage is required to match this module: exactly for the integer
+stages (coefficients, upsample, color), and to within +-1 gray level for the
+pixel output (the device IDCT runs on the MXU whose f32 accumulation order
+differs in ulps from numpy's).
+
+Known conscious divergence from the reference: the reference's ZRL handling
+advances the coefficient position by 17 (``pos += 16`` plus the loop's
+``pos++``, src/huffman.wgsl:182-185), which drops one position per ZRL
+relative to ITU T.81 / libjpeg semantics (+16). This engine implements the
+spec-correct +16.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .errors import bail
+from .huffman import CanonicalTable
+from .metadata import ImageData
+from .ops.luts import idct_matrix_zigzag
+from .scan import split_intervals
+
+
+class BitReader:
+    """MSB-first bit reader over destuffed segment bytes, mirroring the
+    device kernel's (hi, lo, nbits) 64-bit window semantics."""
+
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bitpos = 0
+
+    def peek16(self) -> int:
+        v = 0
+        byte = self.bitpos >> 3
+        sh = self.bitpos & 7
+        for i in range(3):
+            b = self.data[byte + i] if byte + i < len(self.data) else 0
+            v = (v << 8) | b
+        return (v >> (8 - sh)) & 0xFFFF
+
+    def get(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = self.peek16() >> (16 - n)
+        self.bitpos += n
+        return v
+
+    def skip(self, n: int) -> None:
+        self.bitpos += n
+
+
+def huff_extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map a t-bit magnitude to its signed value."""
+    if t == 0:
+        return 0
+    if v < (1 << (t - 1)):
+        return v - (1 << t) + 1
+    return v
+
+
+def decode_segment_coefficients(
+    seg: bytes,
+    img: ImageData,
+    mcus_in_segment: int,
+) -> np.ndarray:
+    """Entropy-decode one restart segment into dequantized coefficients.
+
+    Returns ``[mcus_in_segment * dus_per_mcu, 64]`` int32 in zigzag order
+    (dequantization fused, matching the reference's entropy kernel,
+    src/huffman.wgsl:171,195).
+    """
+    r = BitReader(seg)
+    ncomp = len(img.components)
+    dcpred = [0] * ncomp
+    out = np.zeros((mcus_in_segment * img.dus_per_mcu, 64), dtype=np.int64)
+    du = 0
+    for _ in range(mcus_in_segment):
+        for comp in img.du_to_comp:
+            q = img.qtable_for_comp(comp)
+            dct = img.dc_table_for_comp(comp)
+            act = img.ac_table_for_comp(comp)
+            # DC
+            ssss, ln = dct.decode(r.peek16())
+            r.skip(ln)
+            diff = huff_extend(r.get(ssss), ssss)
+            dcpred[comp] += diff
+            out[du, 0] = dcpred[comp] * int(q[0])
+            # AC
+            pos = 1
+            while pos < 64:
+                rs, ln = act.decode(r.peek16())
+                r.skip(ln)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL: 16 zeros (spec semantics; see module doc)
+                    pos += 16
+                    continue
+                rrrr, s = rs >> 4, rs & 0xF
+                pos += rrrr
+                if pos > 63:
+                    bail("AC run past end of block")
+                coeff = huff_extend(r.get(s), s)
+                out[du, pos] = coeff * int(q[pos])
+                pos += 1
+            du += 1
+    return out.astype(np.int32)
+
+
+def decode_coefficients(img: ImageData) -> np.ndarray:
+    """Entropy-decode the whole image: ``[total_mcus * dus_per_mcu, 64]``
+    int32, zigzag order, dequantized, MCUs in raster order."""
+    segs = split_intervals(img.scan_data, img.total_restart_intervals)
+    ri = img.restart_interval
+    total = img.total_mcus
+    parts: List[np.ndarray] = []
+    for i, seg in enumerate(segs):
+        m = min(ri, total - i * ri)
+        parts.append(decode_segment_coefficients(seg, img, m))
+    return np.concatenate(parts, axis=0)
+
+
+def idct_pixels(coeffs: np.ndarray, retained_coefficients: int = 64) -> np.ndarray:
+    """``[N, 64]`` zigzag coefficients -> ``[N, 64]`` u8 raster pixels.
+
+    float32 matrix IDCT, +128.5 shift, clamp to [0, 255], truncate — the
+    semantics of the reference's AAN chain (src/dct.wgsl:144,174-181) in
+    matrix form.
+    """
+    L = idct_matrix_zigzag(retained_coefficients)  # [64p, 64z] f32
+    pix = coeffs.astype(np.float32) @ L.T + np.float32(128.5)
+    return np.clip(pix, 0.0, 255.0).astype(np.uint8)
+
+
+def assemble_planes(
+    img: ImageData, pixels: np.ndarray
+) -> List[np.ndarray]:
+    """Scatter per-DU pixel blocks into per-component planes at component
+    resolution (before upsampling). ``pixels`` is ``[N_du, 64]`` u8."""
+    planes = []
+    for ci, c in enumerate(img.components):
+        pw = img.width_mcus * c.h_sample * 8
+        ph = img.height_mcus * c.v_sample * 8
+        planes.append(np.zeros((ph, pw), dtype=np.uint8))
+    dus_per_mcu = img.dus_per_mcu
+    for m in range(img.total_mcus):
+        mx, my = m % img.width_mcus, m // img.width_mcus
+        slot = 0
+        for ci, c in enumerate(img.components):
+            for v in range(c.v_sample):
+                for h in range(c.h_sample):
+                    blk = pixels[m * dus_per_mcu + slot].reshape(8, 8)
+                    y0 = (my * c.v_sample + v) * 8
+                    x0 = (mx * c.h_sample + h) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+                    slot += 1
+    return planes
+
+
+def ycbcr_to_rgb_reference(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """Integer BT.601 with the reference's exact fixed-point constants and
+    arithmetic shifts (src/dct.wgsl:323-334)."""
+    y = y.astype(np.int32)
+    cb = cb.astype(np.int32) - 128
+    cr = cr.astype(np.int32) - 128
+    r = y + ((45 * cr) >> 5)
+    g = y - ((11 * cb + 23 * cr) >> 5)
+    b = y + ((113 * cb) >> 6)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+def decode_rgb(
+    data_or_img, retained_coefficients: int = 64
+) -> np.ndarray:
+    """Full golden decode: JPEG bytes (or ImageData) -> ``[H, W, 3]`` u8.
+
+    Chroma upsampling is nearest-neighbor sample replication, like the
+    reference (src/dct.wgsl:302-313).
+    """
+    from .metadata import analyze
+
+    img = data_or_img if isinstance(data_or_img, ImageData) else analyze(data_or_img)
+    coeffs = decode_coefficients(img)
+    pixels = idct_pixels(coeffs, retained_coefficients)
+    planes = assemble_planes(img, pixels)
+    if len(planes) == 1:
+        yp = planes[0][: img.height, : img.width]
+        return np.stack([yp, yp, yp], axis=-1)
+    up = []
+    for ci, c in enumerate(img.components):
+        p = planes[ci]
+        fx = img.max_h // c.h_sample
+        fy = img.max_v // c.v_sample
+        if fx > 1:
+            p = np.repeat(p, fx, axis=1)
+        if fy > 1:
+            p = np.repeat(p, fy, axis=0)
+        up.append(p[: img.height, : img.width])
+    return ycbcr_to_rgb_reference(up[0], up[1], up[2])

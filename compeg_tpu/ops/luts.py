@@ -1,0 +1,42 @@
+"""Constant operators for the device pipeline.
+
+The reference runs an 8-thread AAN butterfly IDCT per DU
+(src/dct.wgsl:46-201, a port of libjpeg-turbo's jidctflt). On TPU the right
+shape is one dense ``[64, 64]`` matrix applied to all DUs at once on the MXU:
+the 2D IDCT is linear, and both the zigzag de-ordering and the
+``retained_coefficients`` truncation (reference: src/metadata.rs:43,
+src/dct.wgsl:80-82) fold into the matrix columns, so the entropy kernel's
+zigzag-ordered output multiplies straight into pixels with zero data
+reshuffling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..tables import UNZIGZAG
+
+
+def dct_basis() -> np.ndarray:
+    """Forward DCT basis C: C[k, n] = c(k)/2 cos((2n+1) k pi/16), f64."""
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    c = np.where(k == 0, 1.0 / np.sqrt(2.0), 1.0)
+    return 0.5 * c * np.cos((2 * n + 1) * k * np.pi / 16.0)
+
+
+def idct_matrix_zigzag(retained_coefficients: int = 64) -> np.ndarray:
+    """``L`` with ``pixels_flat = L @ coeff_zigzag``: [64 raster, 64 zigzag].
+
+    Columns for zigzag positions >= ``retained_coefficients`` are zeroed,
+    reproducing the reference's truncation knob when set to 32.
+    Returned in float32 — the precision the device pipeline computes in.
+    """
+    C = dct_basis()
+    A = C.T  # inverse transform: B = A @ F @ A.T
+    L = np.kron(A, A)  # pixels[r*8+c] = sum L[(r,c),(u,v)] F[u,v]
+    Lz = L[:, UNZIGZAG]  # column z corresponds to zigzag stream position z
+    if retained_coefficients < 64:
+        Lz = Lz.copy()
+        Lz[:, retained_coefficients:] = 0.0
+    return Lz.astype(np.float32)

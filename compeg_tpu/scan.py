@@ -1,0 +1,161 @@
+"""Entropy-coded scan preprocessing.
+
+Turns the raw entropy-coded scan data into the device layout the Pallas
+entropy kernel consumes. Same job as the reference's CPU hot loop
+(src/scan.rs:33-128) — byte-destuffing (``FF 00`` -> ``FF``), restart-marker
+removal, per-interval alignment — but the output layout is TPU-shaped:
+
+ * the reference appends intervals into one u32 stream with a word-index
+   side table (each interval word-aligned, src/scan.rs:1-12);
+ * we give every restart segment its own fixed-width row of u32 words,
+   arranged as ``[G, W, 8, 128]`` blocks so that vector lane ``(sub, lane)``
+   of grid step ``g`` streams segment ``g*1024 + sub*128 + lane`` without any
+   per-lane indexed addressing (TPU lanes cannot gather). Words hold bytes
+   MSB-first, so the kernel's bit window needs no byte swap.
+
+This module is the Python twin of the C++ implementation in
+``native/compeg_host.cpp``; it is also the test oracle for it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .errors import bail
+
+# TPU vector geometry: one grid block decodes SUBLANES*LANES segments.
+LANES = 128
+SUBLANES = 8
+SEGMENTS_PER_BLOCK = SUBLANES * LANES
+
+# Guard words appended past each segment's payload: the bit window may fetch
+# up to 2 words beyond the last consumed bit.
+GUARD_WORDS = 2
+
+
+def split_intervals(scan: bytes, expected: int) -> List[bytes]:
+    """Destuff and split the scan into per-restart-interval byte strings.
+
+    Removes RST markers and ``FF 00`` stuffing (keeping the ``FF``); errors if
+    the number of intervals found differs from ``expected`` (corruption
+    detection, reference src/scan.rs:58-63).
+    """
+    arr = np.frombuffer(scan, dtype=np.uint8)
+    n = arr.size
+    if n == 0:
+        bail("empty scan data")
+    ff = arr == 0xFF
+    nxt = np.empty_like(arr)
+    nxt[:-1] = arr[1:]
+    nxt[-1] = 0
+    stuffed_ff = ff & (nxt == 0x00)  # FF 00 -> keep FF, drop 00
+    marker_ff = ff & (nxt >= 0xD0) & (nxt <= 0xD7)  # RSTn -> drop both
+
+    drop = np.zeros(n, dtype=bool)
+    # Drop the 0x00 of each stuffing pair and both bytes of each RST marker.
+    idx_stuff = np.nonzero(stuffed_ff)[0]
+    drop[idx_stuff[idx_stuff + 1 < n] + 1] = True
+    idx_rst = np.nonzero(marker_ff)[0]
+    drop[idx_rst] = True
+    drop[idx_rst[idx_rst + 1 < n] + 1] = True
+
+    # An 0xFF that is dropped because it is both "stuffing FF" and "RST FF"
+    # cannot happen (0x00 vs 0xD0-D7), but an RST's second byte could itself
+    # be 0xFF-adjacent; RST bytes are 0xD0-0xD7 so no overlap either.
+
+    kept = ~drop
+    cleaned = arr[kept]
+    # Interval k ends right before RST marker k; the last interval runs to the
+    # end of the scan. Boundary positions in the cleaned stream:
+    kept_cum = np.cumsum(kept) - kept  # cleaned index of each original byte
+    bounds = kept_cum[idx_rst] if idx_rst.size else np.zeros(0, dtype=np.int64)
+    starts = np.concatenate([[0], bounds + 0])
+    ends = np.concatenate([bounds, [cleaned.size]])
+    count = starts.size
+    if count != expected:
+        bail(f"scan contains {count} restart intervals, expected {expected}")
+    out = [cleaned[s:e].tobytes() for s, e in zip(starts, ends)]
+    return out
+
+
+def _words_per_segment(max_bytes: int) -> int:
+    return (max_bytes + 3) // 4 + GUARD_WORDS
+
+
+def pack_words(segment: bytes, width: int) -> np.ndarray:
+    """Pack one segment's bytes into ``width`` u32 words, MSB-first."""
+    nb = len(segment)
+    buf = np.zeros(width * 4, dtype=np.uint8)
+    buf[:nb] = np.frombuffer(segment, dtype=np.uint8)
+    return buf.reshape(width, 4).astype(np.uint32) @ np.array(
+        [1 << 24, 1 << 16, 1 << 8, 1], dtype=np.uint32
+    )
+
+
+@dataclass
+class DeviceScan:
+    """Scan data in device layout.
+
+    words:  ``[G, W, SUBLANES, LANES]`` uint32 — segment ``s`` of grid block
+            ``g = s // 1024`` streams down ``words[g, :, (s%1024)//128, s%128]``.
+    active: ``[G, SUBLANES, LANES]`` int32 — 1 for real segments, 0 padding.
+    num_segments: real segment count before padding.
+    words_per_segment: W.
+    """
+
+    words: np.ndarray
+    active: np.ndarray
+    num_segments: int
+    words_per_segment: int
+
+    @property
+    def num_blocks(self) -> int:
+        return self.words.shape[0]
+
+
+def to_device_layout(
+    intervals: List[bytes], words_per_segment: Optional[int] = None
+) -> DeviceScan:
+    """Lay segments out as ``[G, W, 8, 128]`` blocks of MSB-first u32 words.
+
+    ``words_per_segment`` can be forced (bucketed batching) as long as it
+    covers the longest segment.
+    """
+    nseg = len(intervals)
+    max_bytes = max(len(s) for s in intervals)
+    w = _words_per_segment(max_bytes)
+    if words_per_segment is not None:
+        if words_per_segment < w:
+            bail(
+                f"words_per_segment={words_per_segment} too small for "
+                f"longest segment ({w} words needed)"
+            )
+        w = words_per_segment
+    g = -(-nseg // SEGMENTS_PER_BLOCK)
+    byte_plane = np.zeros((g * SEGMENTS_PER_BLOCK, w * 4), dtype=np.uint8)
+    for i, seg in enumerate(intervals):
+        byte_plane[i, : len(seg)] = np.frombuffer(seg, dtype=np.uint8)
+    words = byte_plane.reshape(g * SEGMENTS_PER_BLOCK, w, 4).astype(np.uint32)
+    words = (
+        (words[..., 0] << 24) | (words[..., 1] << 16) | (words[..., 2] << 8) | words[..., 3]
+    )
+    words = words.reshape(g, SUBLANES, LANES, w).transpose(0, 3, 1, 2)
+    active = np.zeros(g * SEGMENTS_PER_BLOCK, dtype=np.int32)
+    active[:nseg] = 1
+    active = active.reshape(g, SUBLANES, LANES)
+    return DeviceScan(
+        words=np.ascontiguousarray(words),
+        active=active,
+        num_segments=nseg,
+        words_per_segment=w,
+    )
+
+
+def preprocess(scan: bytes, expected_intervals: int,
+               words_per_segment: Optional[int] = None) -> DeviceScan:
+    """Full host preprocessing: destuff + split + device layout."""
+    return to_device_layout(split_intervals(scan, expected_intervals),
+                            words_per_segment)
