@@ -75,12 +75,15 @@ def decode_segment_coefficients(
     seg: bytes,
     img: ImageData,
     mcus_in_segment: int,
+    dequant: bool = True,
 ) -> np.ndarray:
-    """Entropy-decode one restart segment into dequantized coefficients.
+    """Entropy-decode one restart segment into coefficients.
 
-    Returns ``[mcus_in_segment * dus_per_mcu, 64]`` int32 in zigzag order
-    (dequantization fused, matching the reference's entropy kernel,
-    src/huffman.wgsl:171,195).
+    Returns ``[mcus_in_segment * dus_per_mcu, 64]`` int32 in zigzag order.
+    With ``dequant=True`` the quantizer multiply is fused like the
+    reference's entropy kernel (src/huffman.wgsl:171,195); ``dequant=False``
+    yields raw quantized values — the TPU entropy kernel's output (it defers
+    dequantization to the IDCT stage).
     """
     r = BitReader(seg)
     ncomp = len(img.components)
@@ -97,7 +100,7 @@ def decode_segment_coefficients(
             r.skip(ln)
             diff = huff_extend(r.get(ssss), ssss)
             dcpred[comp] += diff
-            out[du, 0] = dcpred[comp] * int(q[0])
+            out[du, 0] = dcpred[comp] * int(q[0]) if dequant else dcpred[comp]
             # AC
             pos = 1
             while pos < 64:
@@ -113,22 +116,22 @@ def decode_segment_coefficients(
                 if pos > 63:
                     bail("AC run past end of block")
                 coeff = huff_extend(r.get(s), s)
-                out[du, pos] = coeff * int(q[pos])
+                out[du, pos] = coeff * int(q[pos]) if dequant else coeff
                 pos += 1
             du += 1
     return out.astype(np.int32)
 
 
-def decode_coefficients(img: ImageData) -> np.ndarray:
+def decode_coefficients(img: ImageData, dequant: bool = True) -> np.ndarray:
     """Entropy-decode the whole image: ``[total_mcus * dus_per_mcu, 64]``
-    int32, zigzag order, dequantized, MCUs in raster order."""
+    int32, zigzag order, MCUs in raster order."""
     segs = split_intervals(img.scan_data, img.total_restart_intervals)
     ri = img.restart_interval
     total = img.total_mcus
     parts: List[np.ndarray] = []
     for i, seg in enumerate(segs):
         m = min(ri, total - i * ri)
-        parts.append(decode_segment_coefficients(seg, img, m))
+        parts.append(decode_segment_coefficients(seg, img, m, dequant))
     return np.concatenate(parts, axis=0)
 
 

@@ -1,0 +1,377 @@
+"""Restart-segment-parallel Huffman entropy decode as a Pallas TPU kernel.
+
+This is the TPU answer to the reference's ``huffman.wgsl`` compute shader
+(one GPU thread per restart interval, divergent per-thread bit readers and
+LUT walks; src/huffman.wgsl:116-216). TPU vector lanes execute in lockstep
+and cannot gather from per-lane addresses, so the kernel is built from three
+ideas that remove every memory-indexed lookup:
+
+1. **Lane-per-segment, DU-synchronized stepping.** Each grid block decodes
+   1024 restart segments (vector shape ``(8, 128)``); every lane works on the
+   *same* DU slot of its own segment at the same time, so the component — and
+   therefore the Huffman table and quantization table — is a compile-time
+   constant at every step. There is no per-lane table selection anywhere.
+
+2. **Canonical-limit arithmetic instead of a code LUT.** The code length of
+   the peeked 16 bits is ``1 + sum(c16 >= limits[L])`` over the table's
+   populated lengths — pure vector compares against scalar constants
+   (see huffman.py). The symbol value is fetched from the table's packed
+   value words with a short select tree plus a per-lane dynamic-shift
+   extract — the only "lookup" primitive the VPU gives us.
+
+3. **Position-synchronized commit loop.** Instead of each lane running its
+   own data-dependent AC loop (the reference's divergence problem,
+   TODO.txt:3-5), the kernel walks zigzag positions j = 0..63 *once*,
+   committing each lane's pending (position, value) pair when j reaches it
+   and immediately decoding that lane's next symbol. Every store is a dense
+   ``[8, 128]`` row write — no scatter — and the loop exits early (with a
+   min-jump over pending positions) as soon as every lane has hit EOB.
+
+The output is **raw** (still-quantized) coefficients in zigzag order, laid
+out ``[G, RI, DUS, 64, 8, 128]`` so that the downstream dequant + IDCT stage
+contracts the 64-axis directly on the MXU with zero reshuffling.
+Dequantization happens there (folded into the IDCT input), unlike the
+reference which fuses it here (src/huffman.wgsl:171,195) — on TPU the fusion
+point is the matmul, not the decode loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..huffman import CanonicalTable
+from ..scan import LANES, SUBLANES
+
+SEGS = SUBLANES * LANES  # segments per grid block
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+
+@dataclass(frozen=True)
+class TableConsts:
+    """Compile-time constants for one Huffman table (see huffman.py)."""
+
+    limits: Tuple[int, ...]  # 17 entries
+    delta: Tuple[int, ...]  # 17 entries
+    value_words: Tuple[int, ...]  # packed 4x8-bit values per u32
+    max_len: int
+    num_values: int
+
+    @staticmethod
+    def from_table(t: CanonicalTable) -> "TableConsts":
+        nwords = (t.num_values + 3) // 4
+        # Stored as signed i32 (two's complement) so they broadcast into
+        # int32 vector ops directly.
+        words = tuple(
+            int(w) - (1 << 32) if int(w) >= (1 << 31) else int(w)
+            for w in t.value_words(pad_to=nwords)
+        )
+        return TableConsts(t.limits, t.delta, words, t.max_len, t.num_values)
+
+
+@dataclass(frozen=True)
+class EntropyPlan:
+    """Static decode geometry + tables; the kernel compile key."""
+
+    ri: int  # MCUs per restart interval
+    du_to_comp: Tuple[int, ...]  # DU slot -> component
+    words_per_segment: int
+    num_blocks: int  # G
+    total_mcus: int
+    dc: Tuple[TableConsts, ...]  # per component
+    ac: Tuple[TableConsts, ...]  # per component
+
+    @property
+    def dus_per_mcu(self) -> int:
+        return len(self.du_to_comp)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized bit-window primitives. The window is 64 bits held MSB-aligned in
+# (hi, lo) u32 pairs with `nbits` valid bits; same scheme as the reference's
+# bit reader (src/huffman.wgsl:35-79) but as (8, 128) lane vectors, and with
+# no byte swap (the host packs words MSB-first).
+# ---------------------------------------------------------------------------
+
+
+def _refill(words, hi, lo, nbits, widx, wmax):
+    """Top the window up to >=32 bits, fetching each lane's next word via a
+    masked select over the block's word rows (lanes cannot gather)."""
+    need = nbits < 32
+    wi = jnp.minimum(widx, wmax - 1)
+    w = jnp.zeros_like(hi)
+    for k in range(wmax):
+        w = jnp.where(wi == k, words[k], w)
+    w = jnp.where(need, w, jnp.zeros_like(w))
+    nb = jnp.minimum(nbits, 31).astype(U32)
+    hi = hi | (w >> nb)
+    lo = lo | ((w << 1) << (31 - nb))
+    widx = widx + need.astype(I32)
+    nbits = nbits + jnp.where(need, 32, 0)
+    return hi, lo, nbits, widx
+
+
+def _consume(hi, lo, nbits, n):
+    """Advance by n (<=31) bits per lane."""
+    nu = n.astype(U32)
+    hi = (hi << nu) | ((lo >> 1) >> (31 - nu))
+    lo = lo << nu
+    return hi, lo, nbits - n
+
+
+def _peek(hi, n):
+    """Next n (<=16) bits per lane; n may be 0."""
+    return (hi >> 1) >> (31 - n.astype(U32))
+
+
+def _decode_code(tc: TableConsts, hi):
+    """Canonical Huffman decode of the code at the window top.
+
+    Returns (value u8, code length) as i32 vectors; pure arithmetic on
+    compile-time table constants.
+    """
+    c16 = (hi >> 16).astype(I32)
+    ln = jnp.ones_like(c16)
+    for j in range(1, tc.max_len):
+        ln = ln + (c16 >= tc.limits[j]).astype(I32)
+    # Symbol ordinal: (c16 >> (16 - ln)) + delta[ln].
+    k = jax.lax.shift_right_logical(c16, 16 - ln)
+    delta = jnp.zeros_like(c16)
+    for j in range(1, tc.max_len + 1):
+        if tc.delta[j] != 0:
+            delta = jnp.where(ln == j, tc.delta[j], delta)
+    k = jnp.clip(k + delta, 0, tc.num_values - 1)
+    # Value fetch: select the packed word, dynamic-shift out the byte.
+    wsel = k >> 2
+    vw = jnp.zeros_like(c16)
+    for w, word in enumerate(tc.value_words):
+        vw = jnp.where(wsel == w, word, vw)
+    value = jax.lax.shift_right_logical(vw, (k & 3) * 8) & 0xFF
+    return value, ln
+
+
+def _extend(v, s):
+    """T.81 EXTEND: v (s magnitude bits, unsigned) -> signed coefficient.
+    s == 0 yields 0 without a special case (vt == 0 makes the branch false
+    and v is already 0)."""
+    vi = v.astype(I32)
+    vt = jax.lax.shift_right_logical(jax.lax.shift_left(jnp.ones_like(vi), s), 1)
+    neg = vi - jax.lax.shift_left(jnp.ones_like(vi), s) + 1
+    return jnp.where(vi < vt, neg, vi)
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel(plan: EntropyPlan):
+    W = plan.words_per_segment
+    ri = plan.ri
+    dus = plan.dus_per_mcu
+
+    def kernel(words_ref, active_ref, out_ref, hi_s, lo_s, nb_s, wi_s, dp_s):
+        g = pl.program_id(0)
+        m = pl.program_id(1)
+
+        @pl.when(m == 0)
+        def _():
+            hi_s[:] = jnp.zeros((SUBLANES, LANES), U32)
+            lo_s[:] = jnp.zeros((SUBLANES, LANES), U32)
+            nb_s[:] = jnp.zeros((SUBLANES, LANES), I32)
+            wi_s[:] = jnp.zeros((SUBLANES, LANES), I32)
+            dp_s[:] = jnp.zeros((3, SUBLANES, LANES), I32)
+
+        # Zero the whole output block; the commit loop then only has to touch
+        # rows that actually hold a nonzero coefficient (the reference
+        # likewise zero-clears its coefficients buffer, src/lib.rs:428).
+        out_ref[:] = jnp.zeros((1, 1, dus, 64, SUBLANES, LANES), I32)
+
+        hi, lo = hi_s[:], lo_s[:]
+        nbits, widx = nb_s[:], wi_s[:]
+
+        words = [words_ref[0, k] for k in range(W)]
+
+        sub_i = jax.lax.broadcasted_iota(I32, (SUBLANES, LANES), 0)
+        lane_i = jax.lax.broadcasted_iota(I32, (SUBLANES, LANES), 1)
+        seg = g * SEGS + sub_i * LANES + lane_i
+        act = (active_ref[0] > 0) & (seg * ri + m < plan.total_mcus)
+
+        def decode_symbol(tc, hi, lo, nbits, widx, mask):
+            """Refill + decode one (code, magnitude) pair on lanes in
+            ``mask``; masked lanes neither fetch nor consume."""
+            h2, l2, n2, w2 = _refill(words, hi, lo, nbits, widx, W)
+            hi = jnp.where(mask, h2, hi)
+            lo = jnp.where(mask, l2, lo)
+            nbits = jnp.where(mask, n2, nbits)
+            widx = jnp.where(mask, w2, widx)
+            value, ln = _decode_code(tc, hi)
+            hi, lo, nbits = _consume(hi, lo, nbits, jnp.where(mask, ln, 0))
+            return value, hi, lo, nbits, widx
+
+        for slot, comp in enumerate(plan.du_to_comp):
+            dctab = plan.dc[comp]
+            actab = plan.ac[comp]
+
+            # ---- DC coefficient ----------------------------------------
+            ssss, hi, lo, nbits, widx = decode_symbol(dctab, hi, lo, nbits, widx, act)
+            v = _peek(hi, ssss).astype(I32)
+            hi, lo, nbits = _consume(hi, lo, nbits, jnp.where(act, ssss, 0))
+            diff = _extend(v, ssss)
+            dp = dp_s[comp] + jnp.where(act, diff, 0)
+            dp_s[comp] = dp
+            out_ref[0, 0, slot, 0] = jnp.where(act, dp, 0)
+
+            # ---- AC coefficients: position-synchronized commit loop ----
+            # Pending state: nextpos/nextval hold each lane's next committed
+            # coefficient; 64 means "none" (EOB, past position 63, inactive).
+            def decode_next(base, hi, lo, nbits, widx, mask):
+                value, hi, lo, nbits, widx = decode_symbol(
+                    actab, hi, lo, nbits, widx, mask
+                )
+                rrrr = jax.lax.shift_right_logical(value, 4)
+                s = value & 0xF
+                v = _peek(hi, s).astype(I32)
+                hi, lo, nbits = _consume(hi, lo, nbits, jnp.where(mask, s, 0))
+                coeff = _extend(v, s)
+                is_eob = mask & (value == 0)
+                is_zrl = mask & (value == 0xF0)
+                # Spec semantics: ZRL commits a 0 sixteen positions on; a
+                # (run, size) symbol commits `coeff` after `run` zeros.
+                nextpos = jnp.where(
+                    is_eob, 64, jnp.where(is_zrl, base + 15, base + rrrr)
+                )
+                nextpos = jnp.minimum(nextpos, 64)
+                nextval = jnp.where(is_eob | is_zrl, 0, coeff)
+                return nextpos, nextval, hi, lo, nbits, widx
+
+            np0, nv0, hi, lo, nbits, widx = decode_next(
+                jnp.ones_like(widx), hi, lo, nbits, widx, act
+            )
+            np0 = jnp.where(act, np0, 64)
+
+            def cond(state):
+                j = state[0]
+                return j < 64
+
+            def body(state):
+                j, nextpos, nextval, hi, lo, nbits, widx = state
+                commit = nextpos == j
+                out_ref[0, 0, slot, pl.ds(j, 1)] = jnp.where(
+                    commit, nextval, 0
+                )[None]
+                # A coefficient at position 63 is the last of the DU and is
+                # NOT followed by an EOB — committing lanes decode their next
+                # symbol only below 63.
+                mask_next = commit & (j < 63)
+                np1, nv1, hi, lo, nbits, widx = decode_next(
+                    j + 1, hi, lo, nbits, widx, mask_next
+                )
+                nextpos = jnp.where(commit, jnp.where(mask_next, np1, 64), nextpos)
+                nextval = jnp.where(commit, jnp.where(mask_next, nv1, 0), nextval)
+                # Skip ahead to the earliest pending position (rows in
+                # between were pre-zeroed with the block).
+                j = jnp.min(nextpos).astype(I32)
+                return j, nextpos, nextval, hi, lo, nbits, widx
+
+            j0 = jnp.min(np0).astype(I32)
+            state = jax.lax.while_loop(
+                cond, body, (j0, np0, nv0, hi, lo, nbits, widx)
+            )
+            _, _, _, hi, lo, nbits, widx = state
+
+        hi_s[:], lo_s[:] = hi, lo
+        nb_s[:], wi_s[:] = nbits, widx
+
+    return kernel
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def plan_from_image(img, device_scan) -> EntropyPlan:
+    """Build the kernel's static plan from an analyzed image + packed scan."""
+    ncomp = len(img.components)
+    return EntropyPlan(
+        ri=img.restart_interval,
+        du_to_comp=tuple(img.du_to_comp),
+        words_per_segment=device_scan.words_per_segment,
+        num_blocks=device_scan.num_blocks,
+        total_mcus=img.total_mcus,
+        dc=tuple(TableConsts.from_table(img.dc_table_for_comp(c)) for c in range(ncomp)),
+        ac=tuple(TableConsts.from_table(img.ac_table_for_comp(c)) for c in range(ncomp)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "interpret"))
+def entropy_decode(
+    words: jax.Array,  # [G, W, 8, 128] uint32
+    active: jax.Array,  # [G, 8, 128] int32
+    plan: EntropyPlan,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode all restart segments to raw zigzag coefficients.
+
+    Returns ``[G, RI, DUS, 64, 8, 128]`` int32: still-quantized coefficient
+    ``z`` of DU slot ``d`` of MCU ``m`` within segment ``(g, sub, lane)``.
+    """
+    G = plan.num_blocks
+    W = plan.words_per_segment
+    dus = plan.dus_per_mcu
+    kernel = _make_kernel(plan)
+    grid = (G, plan.ri)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, W, SUBLANES, LANES), lambda g, m: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, SUBLANES, LANES), lambda g, m: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, dus, 64, SUBLANES, LANES),
+            lambda g, m: (g, m, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((G, plan.ri, dus, 64, SUBLANES, LANES), I32),
+        scratch_shapes=[
+            pltpu.VMEM((SUBLANES, LANES), U32),
+            pltpu.VMEM((SUBLANES, LANES), U32),
+            pltpu.VMEM((SUBLANES, LANES), I32),
+            pltpu.VMEM((SUBLANES, LANES), I32),
+            pltpu.VMEM((3, SUBLANES, LANES), I32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(words, active)
+    return out
+
+
+def coefficients_natural_order(out: jax.Array, plan: EntropyPlan) -> jax.Array:
+    """Rearrange kernel output to ``[total_dus, 64]`` (MCUs in raster order),
+    the layout the golden decoder produces — test/debug helper.
+
+    DU index = ((seg * ri + m) * dus + d); seg = g*1024 + sub*128 + lane.
+    """
+    G, RI, D, _, S, L = out.shape
+    x = out.transpose(0, 4, 5, 1, 2, 3)  # [G, sub, lane, RI, D, 64]
+    x = x.reshape(G * S * L * RI * D, 64)
+    total = plan.total_mcus * plan.dus_per_mcu
+    return x[:total]
