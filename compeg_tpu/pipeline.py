@@ -1,0 +1,171 @@
+"""Single-image decode orchestration (the reference's ``Decoder`` +
+``DecodeOp`` layer, src/lib.rs:273-574, re-shaped for JAX).
+
+Where the reference manages wgpu buffers, bind groups, and three dispatches
+per frame, here a frame decode is one jitted function:
+
+    entropy_decode (Pallas)  ->  idct_pixels (MXU matmul)  ->  finalize_rgb
+
+compiled per *geometry + Huffman-table* signature and cached, so a steady
+stream of same-shaped frames (the MJPEG/webcam case the reference optimizes
+for with grow-only buffers, src/dynamic.rs) compiles exactly once and then
+runs allocation-free.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import scan as S
+from .errors import CompegError
+from .metadata import ImageData, analyze
+from .ops import color as C
+from .ops import entropy as E
+from .ops import idct as D
+
+
+@dataclass(frozen=True)
+class FrameGeometry:
+    """Static per-compile decode geometry."""
+
+    width: int
+    height: int
+    width_mcus: int
+    height_mcus: int
+    samplings: Tuple[Tuple[int, int], ...]
+    du_to_comp: Tuple[int, ...]
+    ri: int
+
+    @staticmethod
+    def from_image(img: ImageData) -> "FrameGeometry":
+        return FrameGeometry(
+            width=img.width,
+            height=img.height,
+            width_mcus=img.width_mcus,
+            height_mcus=img.height_mcus,
+            samplings=tuple((c.h_sample, c.v_sample) for c in img.components),
+            du_to_comp=tuple(img.du_to_comp),
+            ri=img.restart_interval,
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("plan", "geom", "retained", "interpret")
+)
+def decode_frame_device(
+    words: jax.Array,  # [G, W, 8, 128] uint32
+    active: jax.Array,  # [G, 8, 128] int32
+    qz_by_slot: jax.Array,  # [DUS, 64] int32
+    plan: E.EntropyPlan,
+    geom: FrameGeometry,
+    retained: int = 64,
+    interpret: bool = False,
+) -> jax.Array:
+    """The full on-device frame decode: scan words -> [H, W, 3] u8."""
+    coeffs = E.entropy_decode(words, active, plan, interpret=interpret)
+    pix = D.idct_pixels(coeffs, qz_by_slot, retained)
+    return C.finalize_rgb(
+        pix,
+        ri=geom.ri,
+        du_to_comp=geom.du_to_comp,
+        samplings=geom.samplings,
+        width=geom.width,
+        height=geom.height,
+        width_mcus=geom.width_mcus,
+        height_mcus=geom.height_mcus,
+    )
+
+
+@dataclass
+class PreparedFrame:
+    """Host-side preprocessing result for one frame — everything the device
+    function needs, ready to upload."""
+
+    words: np.ndarray
+    active: np.ndarray
+    qz_by_slot: np.ndarray
+    plan: E.EntropyPlan
+    geom: FrameGeometry
+    image: ImageData
+
+
+def prepare_frame(
+    data_or_img,
+    words_per_segment: Optional[int] = None,
+) -> PreparedFrame:
+    """Host hot path: parse + validate + scan preprocessing + plan build."""
+    img = data_or_img if isinstance(data_or_img, ImageData) else analyze(data_or_img)
+    dscan = S.preprocess(
+        img.scan_data, img.total_restart_intervals, words_per_segment
+    )
+    plan = E.plan_from_image(img, dscan)
+    return PreparedFrame(
+        words=np.asarray(dscan.words, dtype=np.uint32),
+        active=dscan.active,
+        qz_by_slot=D.qz_by_slot_array(img),
+        plan=plan,
+        geom=FrameGeometry.from_image(img),
+        image=img,
+    )
+
+
+class Decoder:
+    """Per-stream decoder. Reuse one instance across frames of a stream so
+    compiled pipelines are reused (the role of the reference's per-``Decoder``
+    resource reuse)."""
+
+    def __init__(self, retained_coefficients: int = 64, interpret: Optional[bool] = None):
+        self.retained = retained_coefficients
+        self.interpret = (
+            E._interpret_default() if interpret is None else interpret
+        )
+        # Bucket scan width to cut recompiles across slightly-varying frames.
+        self._width_buckets = (6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
+
+    def _bucket_width(self, needed: int) -> int:
+        for b in self._width_buckets:
+            if needed <= b:
+                return b
+        return needed
+
+    def prepare(self, data) -> PreparedFrame:
+        img = data if isinstance(data, ImageData) else analyze(data)
+        # First pass to learn the longest segment, then bucket.
+        intervals = S.split_intervals(img.scan_data, img.total_restart_intervals)
+        needed = S._words_per_segment(max(len(s) for s in intervals))
+        dscan = S.to_device_layout(intervals, self._bucket_width(needed))
+        plan = E.plan_from_image(img, dscan)
+        return PreparedFrame(
+            words=np.asarray(dscan.words, dtype=np.uint32),
+            active=dscan.active,
+            qz_by_slot=D.qz_by_slot_array(img),
+            plan=plan,
+            geom=FrameGeometry.from_image(img),
+            image=img,
+        )
+
+    def decode_prepared(self, pf: PreparedFrame) -> jax.Array:
+        return decode_frame_device(
+            pf.words,
+            pf.active,
+            pf.qz_by_slot,
+            pf.plan,
+            pf.geom,
+            self.retained,
+            self.interpret,
+        )
+
+    def decode(self, data) -> np.ndarray:
+        """Decode one JPEG to an [H, W, 3] u8 RGB numpy array."""
+        return np.asarray(self.decode_prepared(self.prepare(data)))
+
+
+def decode_rgb(data: bytes, retained_coefficients: int = 64) -> np.ndarray:
+    """One-shot decode on the default backend."""
+    return Decoder(retained_coefficients).decode(data)

@@ -1,0 +1,75 @@
+"""End-to-end device pipeline tests (CPU interpret mode): full decode vs the
+golden CPU decoder — the e2e parity tier of SURVEY.md §4."""
+
+import numpy as np
+import pytest
+
+from compeg_tpu import encoder, golden
+from compeg_tpu.pipeline import Decoder, decode_rgb
+
+
+def assert_close_pixels(got, want, tol=1):
+    """Integer stages must match exactly; the f32 IDCT may differ by 1 gray
+    level between MXU/XLA and numpy accumulation order."""
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= tol, (diff.max(), np.argwhere(diff > tol)[:5])
+
+
+@pytest.mark.parametrize("sampling", ["422", "444", "420", "gray"])
+def test_e2e_matches_golden(sampling, test_image):
+    img = test_image(24, 40, "gradient")
+    data = encoder.encode(img, sampling=sampling, quality=85, restart_interval_mcus=1)
+    got = decode_rgb(data)
+    want = golden.decode_rgb(data)
+    assert_close_pixels(got, want)
+
+
+@pytest.mark.parametrize("ri", [2, 5, None])
+def test_e2e_restart_intervals(ri, test_image):
+    img = test_image(16, 48, "edges")
+    data = encoder.encode(img, sampling="422", quality=80, restart_interval_mcus=ri)
+    got = decode_rgb(data)
+    want = golden.decode_rgb(data)
+    assert_close_pixels(got, want)
+
+
+def test_e2e_odd_dimensions(test_image):
+    """Non-MCU-aligned sizes exercise padding + crop."""
+    img = test_image(17, 37, "gradient")
+    data = encoder.encode(img, sampling="422", quality=90, restart_interval_mcus=1)
+    got = decode_rgb(data)
+    want = golden.decode_rgb(data)
+    assert got.shape == (17, 37, 3)
+    assert_close_pixels(got, want)
+
+
+def test_e2e_retained_32(test_image):
+    """The reference's quality knob reproduced end to end."""
+    img = test_image(16, 32, "gradient")
+    data = encoder.encode(img, sampling="422", quality=85)
+    got = decode_rgb(data, retained_coefficients=32)
+    want = golden.decode_rgb(data, retained_coefficients=32)
+    assert_close_pixels(got, want)
+
+
+def test_decoder_reuse_across_frames(test_image):
+    """Same-geometry frames reuse the compiled pipeline (streaming case)."""
+    dec = Decoder()
+    for seed in range(3):
+        img = test_image(16, 32, "noise", seed=seed)
+        data = encoder.encode(img, sampling="422", quality=80, restart_interval_mcus=1)
+        got = dec.decode(data)
+        want = golden.decode_rgb(data)
+        assert_close_pixels(got, want)
+
+
+def test_vs_pillow_e2e(test_image):
+    import io
+    PIL = pytest.importorskip("PIL.Image")
+    img = test_image(32, 48, "gradient")
+    data = encoder.encode(img, sampling="422", quality=95, restart_interval_mcus=2)
+    ours = decode_rgb(data)
+    theirs = np.asarray(PIL.open(io.BytesIO(data)).convert("RGB"))
+    mse = np.mean((ours.astype(float) - theirs.astype(float)) ** 2)
+    assert mse < 20.0, mse
