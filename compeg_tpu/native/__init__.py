@@ -1,0 +1,125 @@
+"""ctypes loader for the native host library, with lazy build and a clean
+fallback to the pure-Python implementations in :mod:`compeg_tpu.scan`.
+
+The native path implements the CPU hot loop (scan destuff/split/pack into the
+TPU block layout). ``load()`` returns None when no compiler is available;
+callers must handle both.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libcompeg_host.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s", "-C", _DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_SO)
+    except Exception as e:  # pragma: no cover - build env dependent
+        log.warning("native build failed: %s", e)
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("COMPEG_TPU_NO_NATIVE"):
+        return None
+    src = os.path.join(_DIR, "compeg_host.cpp")
+    if not os.path.exists(_SO) or (
+        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_SO)
+    ):
+        if not _build():
+            return None
+    lib = ctypes.CDLL(_SO)
+    lib.compeg_scan_info.restype = ctypes.c_int
+    lib.compeg_scan_info.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.compeg_pack.restype = ctypes.c_int
+    lib.compeg_pack.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+    ]
+    _lib = lib
+    return _lib
+
+
+def scan_info(scan: bytes) -> Tuple[int, int]:
+    """(num_intervals, max_destuffed_segment_bytes) — native fast path."""
+    lib = load()
+    assert lib is not None
+    n = ctypes.c_int64()
+    mx = ctypes.c_int64()
+    rc = lib.compeg_scan_info(scan, len(scan), ctypes.byref(n), ctypes.byref(mx))
+    if rc != 0:
+        from ..errors import bail
+
+        bail(f"native scan_info failed ({rc})")
+    return n.value, mx.value
+
+
+def pack(
+    scan: bytes,
+    expected: int,
+    words_per_segment: int,
+    num_blocks: int,
+    n_threads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Destuff + split + pack into ``[G, W, 8, 128]`` words and ``[G, 8, 128]``
+    active mask (native fast path)."""
+    lib = load()
+    assert lib is not None
+    G, W = num_blocks, words_per_segment
+    words = np.zeros((G, W, 8, 128), dtype=np.uint32)
+    active = np.zeros((G, 8, 128), dtype=np.int32)
+    if n_threads <= 0:
+        n_threads = min(4, os.cpu_count() or 1)
+    rc = lib.compeg_pack(
+        scan,
+        len(scan),
+        expected,
+        W,
+        G,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        active.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads,
+    )
+    if rc != 0:
+        from ..errors import bail
+
+        bail(f"native pack failed ({rc})")
+    return words, active
+
+
+def available() -> bool:
+    return load() is not None

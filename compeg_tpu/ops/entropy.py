@@ -179,8 +179,7 @@ def _make_kernel(plan: EntropyPlan):
     ri = plan.ri
     dus = plan.dus_per_mcu
 
-    def kernel(words_ref, active_ref, out_ref, hi_s, lo_s, nb_s, wi_s, dp_s):
-        g = pl.program_id(0)
+    def kernel(words_ref, segmcus_ref, out_ref, hi_s, lo_s, nb_s, wi_s, dp_s):
         m = pl.program_id(1)
 
         @pl.when(m == 0)
@@ -201,10 +200,9 @@ def _make_kernel(plan: EntropyPlan):
 
         words = [words_ref[0, k] for k in range(W)]
 
-        sub_i = jax.lax.broadcasted_iota(I32, (SUBLANES, LANES), 0)
-        lane_i = jax.lax.broadcasted_iota(I32, (SUBLANES, LANES), 1)
-        seg = g * SEGS + sub_i * LANES + lane_i
-        act = (active_ref[0] > 0) & (seg * ri + m < plan.total_mcus)
+        # Host-computed MCUs-per-segment handles both padding segments and a
+        # short final interval, and keeps the kernel shard-position-agnostic.
+        act = m < segmcus_ref[0]
 
         def decode_symbol(tc, hi, lo, nbits, widx, mask):
             """Refill + decode one (code, magnitude) pair on lanes in
@@ -316,7 +314,7 @@ def plan_from_image(img, device_scan) -> EntropyPlan:
 @functools.partial(jax.jit, static_argnames=("plan", "interpret"))
 def entropy_decode(
     words: jax.Array,  # [G, W, 8, 128] uint32
-    active: jax.Array,  # [G, 8, 128] int32
+    seg_mcus: jax.Array,  # [G, 8, 128] int32: valid MCUs per segment
     plan: EntropyPlan,
     interpret: bool = False,
 ) -> jax.Array:
@@ -360,7 +358,7 @@ def entropy_decode(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(words, active)
+    )(words, seg_mcus)
     return out
 
 

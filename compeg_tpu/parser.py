@@ -409,28 +409,28 @@ class JpegParser:
             log.warning("SOS header has %d unparsed bytes", sub.remaining())
         # Scan the entropy-coded data for the terminating marker. RSTn and
         # byte-stuffed FF 00 belong to the scan (reference: src/file.rs:164-191).
+        # Vectorized: the scan ends at the first FF whose successor is a real
+        # marker (not 00, not RST0-7, not another FF).
         data_offset = r.pos
         data = self.data
-        i = r.pos
         n = len(data)
-        while i < n:
-            if data[i] != 0xFF:
-                i += 1
-                continue
-            if i + 1 >= n:
-                i += 1
-                break
-            nxt = data[i + 1]
-            if nxt == 0x00 or is_rst(nxt):
-                i += 2
-                continue
-            if nxt == 0xFF:  # fill byte inside scan; keep scanning
-                i += 1
-                continue
-            break  # a real marker terminates the scan
-        r.pos = i
+        import numpy as np
+
+        # (The second byte of a stuffed FF00 / RSTn pair is never 0xFF, so a
+        # simple "FF followed by a real marker code" test cannot misfire on a
+        # consumed byte — no sequential pair tracking is needed.)
+        arr = np.frombuffer(data, dtype=np.uint8, count=n - r.pos, offset=r.pos)
+        end = arr.size
+        if arr.size > 1:
+            ffs = np.nonzero(arr[:-1] == 0xFF)[0]
+            nxt = arr[ffs + 1]
+            real = (nxt != 0x00) & (nxt != 0xFF) & ((nxt < 0xD0) | (nxt > 0xD7))
+            hits = ffs[real]
+            if hits.size:
+                end = int(hits[0])
+        r.pos = r.pos + int(end)
         return SosSegment(
-            tuple(comps), ss, se, ahal >> 4, ahal & 0xF, data_offset, i - data_offset
+            tuple(comps), ss, se, ahal >> 4, ahal & 0xF, data_offset, r.pos - data_offset
         )
 
 

@@ -55,12 +55,20 @@ class FrameGeometry:
         )
 
 
+def seg_mcu_counts(active: np.ndarray, ri: int, total_mcus: int) -> np.ndarray:
+    """Valid-MCU count per segment: min(ri, remaining), 0 for padding."""
+    g = active.shape[0]
+    idx = np.arange(g * S.SEGMENTS_PER_BLOCK, dtype=np.int64)
+    mcus = np.clip(total_mcus - idx * ri, 0, ri).astype(np.int32)
+    return (active.reshape(-1) * mcus).reshape(active.shape)
+
+
 @functools.partial(
     jax.jit, static_argnames=("plan", "geom", "retained", "interpret")
 )
 def decode_frame_device(
     words: jax.Array,  # [G, W, 8, 128] uint32
-    active: jax.Array,  # [G, 8, 128] int32
+    seg_mcus: jax.Array,  # [G, 8, 128] int32
     qz_by_slot: jax.Array,  # [DUS, 64] int32
     plan: E.EntropyPlan,
     geom: FrameGeometry,
@@ -68,7 +76,7 @@ def decode_frame_device(
     interpret: bool = False,
 ) -> jax.Array:
     """The full on-device frame decode: scan words -> [H, W, 3] u8."""
-    coeffs = E.entropy_decode(words, active, plan, interpret=interpret)
+    coeffs = E.entropy_decode(words, seg_mcus, plan, interpret=interpret)
     pix = D.idct_pixels(coeffs, qz_by_slot, retained)
     return C.finalize_rgb(
         pix,
@@ -88,7 +96,7 @@ class PreparedFrame:
     function needs, ready to upload."""
 
     words: np.ndarray
-    active: np.ndarray
+    seg_mcus: np.ndarray
     qz_by_slot: np.ndarray
     plan: E.EntropyPlan
     geom: FrameGeometry
@@ -107,7 +115,7 @@ def prepare_frame(
     plan = E.plan_from_image(img, dscan)
     return PreparedFrame(
         words=np.asarray(dscan.words, dtype=np.uint32),
-        active=dscan.active,
+        seg_mcus=seg_mcu_counts(dscan.active, img.restart_interval, img.total_mcus),
         qz_by_slot=D.qz_by_slot_array(img),
         plan=plan,
         geom=FrameGeometry.from_image(img),
@@ -135,15 +143,31 @@ class Decoder:
         return needed
 
     def prepare(self, data) -> PreparedFrame:
+        from . import native
+
         img = data if isinstance(data, ImageData) else analyze(data)
-        # First pass to learn the longest segment, then bucket.
-        intervals = S.split_intervals(img.scan_data, img.total_restart_intervals)
-        needed = S._words_per_segment(max(len(s) for s in intervals))
-        dscan = S.to_device_layout(intervals, self._bucket_width(needed))
+        expected = img.total_restart_intervals
+        if native.available():
+            n, mx = native.scan_info(img.scan_data)
+            if n != expected:
+                raise CompegError(
+                    f"scan contains {n} restart intervals, expected {expected}"
+                )
+            w = self._bucket_width(S._words_per_segment(mx))
+            g = -(-n // S.SEGMENTS_PER_BLOCK)
+            words, active = native.pack(img.scan_data, expected, w, g)
+            dscan = S.DeviceScan(words, active, n, w)
+        else:
+            # Pure-Python fallback path.
+            intervals = S.split_intervals(img.scan_data, expected)
+            needed = S._words_per_segment(max(len(s) for s in intervals))
+            dscan = S.to_device_layout(intervals, self._bucket_width(needed))
         plan = E.plan_from_image(img, dscan)
         return PreparedFrame(
             words=np.asarray(dscan.words, dtype=np.uint32),
-            active=dscan.active,
+            seg_mcus=seg_mcu_counts(
+                dscan.active, img.restart_interval, img.total_mcus
+            ),
             qz_by_slot=D.qz_by_slot_array(img),
             plan=plan,
             geom=FrameGeometry.from_image(img),
@@ -153,7 +177,7 @@ class Decoder:
     def decode_prepared(self, pf: PreparedFrame) -> jax.Array:
         return decode_frame_device(
             pf.words,
-            pf.active,
+            pf.seg_mcus,
             pf.qz_by_slot,
             pf.plan,
             pf.geom,

@@ -18,9 +18,12 @@ def kernel_coefficients(data: bytes):
     img = analyze(data)
     dscan = S.preprocess(img.scan_data, img.total_restart_intervals)
     plan = E.plan_from_image(img, dscan)
+    from compeg_tpu.pipeline import seg_mcu_counts
+
+    seg_mcus = seg_mcu_counts(dscan.active, img.restart_interval, img.total_mcus)
     out = E.entropy_decode(
         np.asarray(dscan.words, dtype=np.uint32),
-        dscan.active,
+        seg_mcus,
         plan,
         interpret=True,
     )

@@ -1,0 +1,76 @@
+"""Native C++ host library vs the pure-Python oracle: exact equality."""
+
+import numpy as np
+import pytest
+
+from compeg_tpu import analyze, encoder, native
+from compeg_tpu import scan as S
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+
+def scan_of(img_bytes):
+    return analyze(img_bytes)
+
+
+def test_scan_info_matches_python(test_image):
+    data = encoder.encode(test_image(32, 64), sampling="422", restart_interval_mcus=1)
+    img = scan_of(data)
+    n, mx = native.scan_info(img.scan_data)
+    segs = S.split_intervals(img.scan_data, img.total_restart_intervals)
+    assert n == len(segs)
+    assert mx == max(len(s) for s in segs)
+
+
+@pytest.mark.parametrize("ri", [1, 3, None])
+@pytest.mark.parametrize("kind", ["gradient", "noise"])
+def test_pack_matches_python(ri, kind, test_image):
+    data = encoder.encode(
+        test_image(40, 64, kind), sampling="422", quality=90, restart_interval_mcus=ri
+    )
+    img = scan_of(data)
+    expected = img.total_restart_intervals
+    segs = S.split_intervals(img.scan_data, expected)
+    w = S._words_per_segment(max(len(s) for s in segs))
+    g = -(-expected // S.SEGMENTS_PER_BLOCK)
+    py = S.to_device_layout(segs, w)
+    words, active = native.pack(img.scan_data, expected, w, g)
+    assert np.array_equal(words, py.words)
+    assert np.array_equal(active, py.active)
+
+
+def test_pack_multithreaded_matches(test_image):
+    data = encoder.encode(
+        test_image(320, 256, "noise"), sampling="422", quality=90, restart_interval_mcus=1
+    )
+    img = scan_of(data)
+    expected = img.total_restart_intervals
+    segs = S.split_intervals(img.scan_data, expected)
+    w = S._words_per_segment(max(len(s) for s in segs))
+    g = -(-expected // S.SEGMENTS_PER_BLOCK)
+    w1, a1 = native.pack(img.scan_data, expected, w, g, n_threads=1)
+    w4, a4 = native.pack(img.scan_data, expected, w, g, n_threads=4)
+    assert np.array_equal(w1, w4)
+    assert np.array_equal(a1, a4)
+    py = S.to_device_layout(segs, w)
+    assert np.array_equal(w1, py.words)
+
+
+def test_pack_overflow_detected(test_image):
+    data = encoder.encode(test_image(16, 32), sampling="422", restart_interval_mcus=1)
+    img = scan_of(data)
+    from compeg_tpu.errors import CompegError
+
+    with pytest.raises(CompegError):
+        native.pack(img.scan_data, img.total_restart_intervals, 2, 1)
+
+
+def test_count_mismatch_detected(test_image):
+    data = encoder.encode(test_image(16, 32), sampling="422", restart_interval_mcus=1)
+    img = scan_of(data)
+    from compeg_tpu.errors import CompegError
+
+    with pytest.raises(CompegError):
+        native.pack(img.scan_data, img.total_restart_intervals + 1, 16, 1)
