@@ -100,8 +100,9 @@ def pack(
     lib = load()
     assert lib is not None
     G, W = num_blocks, words_per_segment
-    words = np.zeros((G, W, 8, 128), dtype=np.uint32)
-    active = np.zeros((G, 8, 128), dtype=np.int32)
+    # The C++ side zero-fills both buffers; avoid doing it twice.
+    words = np.empty((G, W, 8, 128), dtype=np.uint32)
+    active = np.empty((G, 8, 128), dtype=np.int32)
     if n_threads <= 0:
         n_threads = min(4, os.cpu_count() or 1)
     rc = lib.compeg_pack(

@@ -20,33 +20,37 @@
 extern "C" {
 
 // Scan the entropy-coded data once: count restart intervals and measure the
-// longest destuffed segment. Returns 0 on success.
+// longest destuffed segment. Uses memchr to hop between 0xFF bytes (scan
+// data is overwhelmingly non-FF). Returns 0 on success.
 int compeg_scan_info(const uint8_t* scan, int64_t len, int64_t* n_intervals,
                      int64_t* max_seg_bytes) {
   if (len <= 0) return -1;
   int64_t count = 1;
-  int64_t cur = 0, mx = 0;
-  for (int64_t i = 0; i < len;) {
-    uint8_t b = scan[i];
-    if (b != 0xFF) {
-      cur++;
-      i++;
-      continue;
-    }
-    uint8_t nxt = (i + 1 < len) ? scan[i + 1] : 0;
-    if (nxt == 0x00) {  // stuffed FF
-      cur++;
+  int64_t seg_start = 0;  // raw offset of current segment
+  int64_t stuffed = 0;    // stuffing bytes removed so far in this segment
+  int64_t mx = 0;
+  int64_t i = 0;
+  while (i < len) {
+    const void* p = std::memchr(scan + i, 0xFF, static_cast<size_t>(len - i));
+    if (p == nullptr) break;
+    i = static_cast<const uint8_t*>(p) - scan;
+    if (i + 1 >= len) break;  // trailing lone FF is plain data
+    uint8_t nxt = scan[i + 1];
+    if (nxt == 0x00) {
+      stuffed++;
       i += 2;
-    } else if (nxt >= 0xD0 && nxt <= 0xD7) {  // RST: segment boundary
+    } else if (nxt >= 0xD0 && nxt <= 0xD7) {
+      int64_t cur = i - seg_start - stuffed;
       if (cur > mx) mx = cur;
-      cur = 0;
       count++;
       i += 2;
-    } else {  // stray FF (fill byte or trailing marker prefix): keep it
-      cur++;
+      seg_start = i;
+      stuffed = 0;
+    } else {
       i++;
     }
   }
+  int64_t cur = len - seg_start - stuffed;
   if (cur > mx) mx = cur;
   *n_intervals = count;
   *max_seg_bytes = mx;
@@ -59,19 +63,6 @@ constexpr int kSublanes = 8;
 constexpr int kLanes = 128;
 constexpr int kSegsPerBlock = kSublanes * kLanes;
 
-// Pack one destuffed byte into segment `seg`'s stream at byte offset `off`.
-// words layout: [G][W][8][128], MSB-first within each u32.
-inline void put_byte(uint32_t* words, int32_t W, int64_t seg, int64_t off,
-                     uint8_t v) {
-  int64_t g = seg / kSegsPerBlock;
-  int64_t s = (seg % kSegsPerBlock) / kLanes;
-  int64_t l = seg % kLanes;
-  int64_t w = off >> 2;
-  int shift = 24 - 8 * (off & 3);
-  words[((g * W + w) * kSublanes + s) * kLanes + l] |=
-      static_cast<uint32_t>(v) << shift;
-}
-
 struct SegSpan {
   int64_t begin;  // raw scan offset of first byte
   int64_t end;    // raw scan offset past the segment (before the RST)
@@ -79,9 +70,38 @@ struct SegSpan {
 
 // Pack the raw bytes [begin, end) of segment `seg` (destuffing inline).
 // Returns destuffed byte count, or -1 if it overflows W*4 - guard bytes.
+// Fast path: segments with no 0xFF at all (the common case) are copied four
+// bytes at a time straight into the strided column.
 int64_t pack_segment(const uint8_t* scan, SegSpan span, uint32_t* words,
                      int32_t W, int64_t seg, int64_t max_bytes) {
+  const int64_t raw = span.end - span.begin;
+  const int64_t g = seg / kSegsPerBlock;
+  const int64_t s = (seg % kSegsPerBlock) / kLanes;
+  const int64_t l = seg % kLanes;
+  uint32_t* col = words + (g * W * kSublanes + s) * kLanes + l;
+  constexpr int64_t kStride = kSublanes * kLanes;  // u32s between words
+
+  if (std::memchr(scan + span.begin, 0xFF, static_cast<size_t>(raw)) == nullptr) {
+    if (raw > max_bytes) return -1;
+    const uint8_t* src = scan + span.begin;
+    int64_t w = 0, i = 0;
+    for (; i + 4 <= raw; i += 4, w++) {
+      uint32_t v;
+      std::memcpy(&v, src + i, 4);
+      col[w * kStride] = __builtin_bswap32(v);  // MSB-first
+    }
+    if (i < raw) {
+      uint32_t v = 0;
+      for (int64_t k = i; k < raw; k++)
+        v |= static_cast<uint32_t>(src[k]) << (24 - 8 * (k - i));
+      col[w * kStride] = v;
+    }
+    return raw;
+  }
+
+  // Slow path: destuff byte by byte, accumulating words.
   int64_t off = 0;
+  uint32_t acc = 0;
   for (int64_t i = span.begin; i < span.end;) {
     uint8_t b = scan[i];
     if (b == 0xFF && i + 1 < span.end && scan[i + 1] == 0x00) {
@@ -90,8 +110,14 @@ int64_t pack_segment(const uint8_t* scan, SegSpan span, uint32_t* words,
       i += 1;
     }
     if (off >= max_bytes) return -1;
-    put_byte(words, W, seg, off++, b);
+    acc |= static_cast<uint32_t>(b) << (24 - 8 * (off & 3));
+    if ((off & 3) == 3) {
+      col[(off >> 2) * kStride] = acc;
+      acc = 0;
+    }
+    off++;
   }
+  if (off & 3) col[(off >> 2) * kStride] = acc;
   return off;
 }
 
@@ -104,16 +130,18 @@ int64_t pack_segment(const uint8_t* scan, SegSpan span, uint32_t* words,
 int compeg_pack(const uint8_t* scan, int64_t len, int64_t expected, int32_t W,
                 int32_t G, uint32_t* words, int32_t* active, int32_t n_threads) {
   if (len <= 0) return -1;
-  // Pass 1: find segment spans (RST boundaries) on the raw bytes.
+  // Pass 1: find segment spans (RST boundaries) on the raw bytes,
+  // memchr-hopping between FF bytes.
   std::vector<SegSpan> spans;
   spans.reserve(static_cast<size_t>(expected));
   int64_t start = 0;
-  for (int64_t i = 0; i < len;) {
-    if (scan[i] != 0xFF) {
-      i++;
-      continue;
-    }
-    uint8_t nxt = (i + 1 < len) ? scan[i + 1] : 0;
+  int64_t i = 0;
+  while (i < len) {
+    const void* p = std::memchr(scan + i, 0xFF, static_cast<size_t>(len - i));
+    if (p == nullptr) break;
+    i = static_cast<const uint8_t*>(p) - scan;
+    if (i + 1 >= len) break;
+    uint8_t nxt = scan[i + 1];
     if (nxt == 0x00) {
       i += 2;
     } else if (nxt >= 0xD0 && nxt <= 0xD7) {

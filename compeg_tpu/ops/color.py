@@ -43,6 +43,57 @@ def upsample_nearest(plane: jax.Array, fx: int, fy: int) -> jax.Array:
     return plane
 
 
+def upsample_fancy_h(plane: jax.Array) -> jax.Array:
+    """Horizontal x2 triangle-filter upsampling (libjpeg 'fancy' weighting:
+    nearer sample x3 + farther x1, rounding 1/2 alternating; edges clamp)."""
+    left = jnp.concatenate([plane[:, :1], plane[:, :-1]], axis=1)
+    right = jnp.concatenate([plane[:, 1:], plane[:, -1:]], axis=1)
+    even = (3 * plane + left + 1) >> 2
+    odd = (3 * plane + right + 2) >> 2
+    h, w = plane.shape
+    return jnp.stack([even, odd], axis=2).reshape(h, 2 * w)
+
+
+def upsample_fancy_v(
+    plane: jax.Array,
+    top_halo: jax.Array | None = None,
+    bottom_halo: jax.Array | None = None,
+) -> jax.Array:
+    """Vertical x2 triangle-filter upsampling. ``top_halo``/``bottom_halo``
+    are the neighbor rows adjacent to this band (for sharded decode they
+    arrive over ICI; None clamps at the image edge)."""
+    above = jnp.concatenate(
+        [plane[:1] if top_halo is None else top_halo[None], plane[:-1]], axis=0
+    )
+    below = jnp.concatenate(
+        [plane[1:], plane[-1:] if bottom_halo is None else bottom_halo[None]], axis=0
+    )
+    even = (3 * plane + above + 1) >> 2
+    odd = (3 * plane + below + 2) >> 2
+    h, w = plane.shape
+    return jnp.stack([even, odd], axis=1).reshape(2 * h, w)
+
+
+def _exchange_boundary_rows(plane: jax.Array, seq_axis: str):
+    """Fetch the neighboring bands' adjacent chroma rows over the mesh's
+    ``seq`` axis: each shard receives the row above its band (the previous
+    shard's last row) and the row below (the next shard's first row).
+
+    This is the boundary-row ICI collective of the sharded decode: a pair of
+    ``ppermute`` ring shifts (SURVEY.md §5 'halo exchange').
+    """
+    n = jax.lax.axis_size(seq_axis)
+    idx = jax.lax.axis_index(seq_axis)
+    perm_down = [(i, (i + 1) % n) for i in range(n)]
+    perm_up = [(i, (i - 1) % n) for i in range(n)]
+    from_above = jax.lax.ppermute(plane[-1], seq_axis, perm_down)
+    from_below = jax.lax.ppermute(plane[0], seq_axis, perm_up)
+    # Image edges: clamp to own boundary row.
+    top = jnp.where(idx == 0, plane[0], from_above)
+    bottom = jnp.where(idx == n - 1, plane[-1], from_below)
+    return top, bottom
+
+
 def ycbcr_to_rgb(y: jax.Array, cb: jax.Array, cr: jax.Array) -> jax.Array:
     """Integer full-range BT.601 with the reference's constants; int32 in,
     u8 [H, W, 3] out."""
@@ -53,6 +104,58 @@ def ycbcr_to_rgb(y: jax.Array, cb: jax.Array, cr: jax.Array) -> jax.Array:
     b = y + ((113 * cb) >> 6)
     rgb = jnp.stack([r, g, b], axis=-1)
     return jnp.clip(rgb, 0, 255).astype(jnp.uint8)
+
+
+def finalize_band(
+    pixels: jax.Array,  # [G_b, RI, DUS, 64, 8, 128] int32 for one band
+    *,
+    ri: int,
+    du_to_comp: Tuple[int, ...],
+    samplings: Tuple[Tuple[int, int], ...],
+    band_width_mcus: int,
+    band_height_mcus: int,
+    fancy: bool = False,
+    seq_axis: str | None = None,
+) -> jax.Array:
+    """Assemble one MCU-row band into ``[band_h, band_w, 3]`` u8.
+
+    With ``fancy=True`` chroma is upsampled with the triangle filter; when
+    ``seq_axis`` names a mesh axis, vertical interpolation exchanges band
+    boundary rows with neighboring shards over ICI (ppermute).
+    """
+    G, RI, DUS, _, S, L = pixels.shape
+    total_mcus = band_width_mcus * band_height_mcus
+    x = pixels.transpose(0, 4, 5, 1, 2, 3).reshape(G * S * L * RI, DUS, 64)
+    x = x[:total_mcus]
+
+    max_h = max(s[0] for s in samplings)
+    max_v = max(s[1] for s in samplings)
+    planes = []
+    slot = 0
+    for ci, (sh, sv) in enumerate(samplings):
+        ndu = sh * sv
+        plane = assemble_component_plane(
+            x[:, slot : slot + ndu, :], band_width_mcus, band_height_mcus, sh, sv
+        )
+        fx, fy = max_h // sh, max_v // sv
+        if not fancy:
+            plane = upsample_nearest(plane, fx, fy)
+        else:
+            if fy > 1:
+                if seq_axis is not None:
+                    top, bottom = _exchange_boundary_rows(plane, seq_axis)
+                    plane = upsample_fancy_v(plane, top, bottom)
+                else:
+                    plane = upsample_fancy_v(plane)
+            if fx > 1:
+                plane = upsample_fancy_h(plane)
+        planes.append(plane)
+        slot += ndu
+
+    if len(planes) == 1:
+        yp = jnp.clip(planes[0], 0, 255).astype(jnp.uint8)
+        return jnp.stack([yp, yp, yp], axis=-1)
+    return ycbcr_to_rgb(planes[0], planes[1], planes[2])
 
 
 def finalize_rgb(

@@ -135,6 +135,10 @@ class Decoder:
         )
         # Bucket scan width to cut recompiles across slightly-varying frames.
         self._width_buckets = (6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
+        # Steady-state width cache: frames of a stream reuse the last bucket
+        # and only re-measure when a segment overflows it (the same trick as
+        # the reference's grow-only buffers, src/dynamic.rs:38-61).
+        self._cached_width: Optional[int] = None
 
     def _bucket_width(self, needed: int) -> int:
         for b in self._width_buckets:
@@ -148,15 +152,24 @@ class Decoder:
         img = data if isinstance(data, ImageData) else analyze(data)
         expected = img.total_restart_intervals
         if native.available():
-            n, mx = native.scan_info(img.scan_data)
-            if n != expected:
-                raise CompegError(
-                    f"scan contains {n} restart intervals, expected {expected}"
-                )
-            w = self._bucket_width(S._words_per_segment(mx))
-            g = -(-n // S.SEGMENTS_PER_BLOCK)
-            words, active = native.pack(img.scan_data, expected, w, g)
-            dscan = S.DeviceScan(words, active, n, w)
+            g = -(-expected // S.SEGMENTS_PER_BLOCK)
+            w = self._cached_width
+            words = active = None
+            if w is not None:
+                try:
+                    words, active = native.pack(img.scan_data, expected, w, g)
+                except CompegError:
+                    words = None  # overflow or count change: re-measure
+            if words is None:
+                n, mx = native.scan_info(img.scan_data)
+                if n != expected:
+                    raise CompegError(
+                        f"scan contains {n} restart intervals, expected {expected}"
+                    )
+                w = self._bucket_width(S._words_per_segment(mx))
+                self._cached_width = w
+                words, active = native.pack(img.scan_data, expected, w, g)
+            dscan = S.DeviceScan(words, active, expected, w)
         else:
             # Pure-Python fallback path.
             intervals = S.split_intervals(img.scan_data, expected)
