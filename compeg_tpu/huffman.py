@@ -31,6 +31,7 @@ streams with no DHT decode, matching the reference (src/lib.rs:608-613).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Dict, List, Sequence, Tuple
 
@@ -115,7 +116,15 @@ def build_table(counts: Sequence[int], values: Sequence[int]) -> CanonicalTable:
 
     Follows the Annex C code-assignment flowcharts: codes of length L are
     assigned consecutively starting from ``(mincode[L-1] + count[L-1]) << 1``.
+    Cached: streams re-send identical DHTs every frame.
     """
+    return _build_table_cached(tuple(counts), tuple(values))
+
+
+@functools.lru_cache(maxsize=256)
+def _build_table_cached(
+    counts: Tuple[int, ...], values: Tuple[int, ...]
+) -> CanonicalTable:
     if len(counts) != 16:
         bail("DHT must declare 16 code counts")
     total = sum(counts)

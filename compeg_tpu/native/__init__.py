@@ -59,6 +59,12 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.compeg_find_scan_end.restype = ctypes.c_int64
+    lib.compeg_find_scan_end.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+    ]
     lib.compeg_pack.restype = ctypes.c_int
     lib.compeg_pack.argtypes = [
         ctypes.c_char_p,
@@ -120,6 +126,14 @@ def pack(
 
         bail(f"native pack failed ({rc})")
     return words, active
+
+
+def find_scan_end(data: bytes, offset: int = 0) -> int:
+    """Offset (into ``data``) of the marker terminating the scan that starts
+    at ``offset``."""
+    lib = load()
+    assert lib is not None
+    return int(lib.compeg_find_scan_end(data, len(data), offset))
 
 
 def available() -> bool:

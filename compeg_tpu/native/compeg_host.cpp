@@ -57,6 +57,29 @@ int compeg_scan_info(const uint8_t* scan, int64_t len, int64_t* n_intervals,
   return 0;
 }
 
+// Find the end of the entropy-coded scan data starting at `scan`: the offset
+// of the first 0xFF followed by a real marker (not 00, not RST0-7, not FF).
+// Returns len if no terminating marker is found.
+int64_t compeg_find_scan_end(const uint8_t* scan, int64_t len,
+                             int64_t offset) {
+  int64_t i = offset;
+  while (i < len) {
+    const void* p = std::memchr(scan + i, 0xFF, static_cast<size_t>(len - i));
+    if (p == nullptr) return len;
+    i = static_cast<const uint8_t*>(p) - scan;
+    if (i + 1 >= len) return len;
+    uint8_t nxt = scan[i + 1];
+    if (nxt == 0x00 || (nxt >= 0xD0 && nxt <= 0xD7)) {
+      i += 2;
+    } else if (nxt == 0xFF) {
+      i++;
+    } else {
+      return i;
+    }
+  }
+  return len;
+}
+
 namespace {
 
 constexpr int kSublanes = 8;

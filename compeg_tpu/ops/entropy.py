@@ -67,6 +67,7 @@ class TableConsts:
     num_values: int
 
     @staticmethod
+    @functools.lru_cache(maxsize=256)
     def from_table(t: CanonicalTable) -> "TableConsts":
         nwords = (t.num_values + 3) // 4
         # Stored as signed i32 (two's complement) so they broadcast into

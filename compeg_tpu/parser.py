@@ -419,6 +419,17 @@ class JpegParser:
         # (The second byte of a stuffed FF00 / RSTn pair is never 0xFF, so a
         # simple "FF followed by a real marker code" test cannot misfire on a
         # consumed byte — no sequential pair tracking is needed.)
+        try:
+            from . import native
+
+            if native.available():
+                r.pos = native.find_scan_end(data, r.pos)
+                return SosSegment(
+                    tuple(comps), ss, se, ahal >> 4, ahal & 0xF,
+                    data_offset, r.pos - data_offset,
+                )
+        except Exception:  # pragma: no cover - fall through to numpy path
+            pass
         arr = np.frombuffer(data, dtype=np.uint8, count=n - r.pos, offset=r.pos)
         end = arr.size
         if arr.size > 1:
