@@ -1,0 +1,147 @@
+"""Batched multi-frame decode and asynchronous streaming.
+
+The reference decodes one image per ``Decoder`` (multiple decoders share a
+``Gpu``; src/lib.rs:6). On TPU, batch decoding is the key throughput lever:
+the entropy kernel's grid is just "blocks of 1024 segments", so ``B`` frames
+of the same geometry stack into one dispatch by concatenating their blocks —
+one kernel launch, one IDCT matmul, one finalize, amortizing dispatch and
+transfer latency across the whole batch (the 64-image webcam-stream
+configuration of BASELINE.json).
+
+``StreamDecoder`` additionally pipelines host preprocessing against device
+execution: JAX dispatch is asynchronous, so preparing frame i+1 on the CPU
+overlaps decoding frame i on the chip (the ``start_decode``/``DecodeOp``
+split of the reference, src/lib.rs:483-529, without explicit fences).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Iterable, Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .errors import bail
+from .metadata import ImageData
+from .ops import color as C
+from .ops import entropy as E
+from .ops import idct as D
+from .pipeline import Decoder, FrameGeometry, PreparedFrame, decode_frame_device
+
+
+@functools.partial(
+    jax.jit, static_argnames=("plan", "geom", "batch", "retained", "interpret")
+)
+def decode_batch_device(
+    words: jax.Array,  # [B*G, W, 8, 128] uint32
+    seg_mcus: jax.Array,  # [B*G, 8, 128] int32
+    qz_by_slot: jax.Array,  # [DUS, 64] int32
+    plan: E.EntropyPlan,  # with num_blocks == B*G
+    geom: FrameGeometry,
+    batch: int,
+    retained: int = 64,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode ``batch`` same-geometry frames in one dispatch -> [B, H, W, 3]."""
+    coeffs = E.entropy_decode(words, seg_mcus, plan, interpret=interpret)
+    pix = D.idct_pixels(coeffs, qz_by_slot, retained)
+    g = pix.shape[0] // batch
+    pix = pix.reshape((batch, g) + pix.shape[1:])
+
+    def one(p):
+        return C.finalize_rgb(
+            p,
+            ri=geom.ri,
+            du_to_comp=geom.du_to_comp,
+            samplings=geom.samplings,
+            width=geom.width,
+            height=geom.height,
+            width_mcus=geom.width_mcus,
+            height_mcus=geom.height_mcus,
+        )
+
+    return jax.vmap(one)(pix)
+
+
+class BatchDecoder:
+    """Decode batches of same-geometry frames in single dispatches."""
+
+    def __init__(self, retained_coefficients: int = 64, interpret: Optional[bool] = None):
+        self._dec = Decoder(retained_coefficients, interpret)
+        self.retained = retained_coefficients
+
+    def prepare_batch(self, frames: Sequence[bytes]) -> List[PreparedFrame]:
+        pfs = [self._dec.prepare(f) for f in frames]
+        g0, p0 = pfs[0].geom, pfs[0].plan
+        for pf in pfs[1:]:
+            if pf.geom != g0 or pf.plan != p0:
+                bail("batched frames must share geometry and tables")
+        return pfs
+
+    def decode_prepared(self, pfs: Sequence[PreparedFrame]) -> jax.Array:
+        p0 = pfs[0].plan
+        b = len(pfs)
+        words = np.concatenate([pf.words for pf in pfs], axis=0)
+        seg_mcus = np.concatenate([pf.seg_mcus for pf in pfs], axis=0)
+        plan = E.EntropyPlan(
+            ri=p0.ri,
+            du_to_comp=p0.du_to_comp,
+            words_per_segment=p0.words_per_segment,
+            num_blocks=p0.num_blocks * b,
+            total_mcus=p0.total_mcus,
+            dc=p0.dc,
+            ac=p0.ac,
+        )
+        return decode_batch_device(
+            words,
+            seg_mcus,
+            pfs[0].qz_by_slot,
+            plan,
+            pfs[0].geom,
+            b,
+            self.retained,
+            self._dec.interpret,
+        )
+
+    def decode(self, frames: Sequence[bytes]) -> np.ndarray:
+        """[B frames] -> [B, H, W, 3] u8."""
+        return np.asarray(self.decode_prepared(self.prepare_batch(frames)))
+
+
+class StreamDecoder:
+    """Pipelined streaming decode: host prep of frame i+1 overlaps device
+    decode of frame i; device transfers are issued asynchronously."""
+
+    def __init__(
+        self,
+        retained_coefficients: int = 64,
+        interpret: Optional[bool] = None,
+        depth: int = 2,
+    ):
+        self._dec = Decoder(retained_coefficients, interpret)
+        self.depth = depth
+
+    def decode_iter(self, frames: Iterable[bytes]) -> Iterator[jax.Array]:
+        """Yields device arrays ([H, W, 3] u8) in order, ``depth`` frames
+        in flight."""
+        inflight: List[jax.Array] = []
+        for data in frames:
+            pf = self._dec.prepare(data)
+            words = jax.device_put(pf.words)
+            seg_mcus = jax.device_put(pf.seg_mcus)
+            out = decode_frame_device(
+                words,
+                seg_mcus,
+                pf.qz_by_slot,
+                pf.plan,
+                pf.geom,
+                self._dec.retained,
+                self._dec.interpret,
+            )
+            inflight.append(out)
+            if len(inflight) >= self.depth:
+                yield inflight.pop(0)
+        yield from inflight

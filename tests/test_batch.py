@@ -1,0 +1,45 @@
+"""Batched and streaming decode tests."""
+
+import numpy as np
+import pytest
+
+from compeg_tpu import encoder, golden
+from compeg_tpu.batch import BatchDecoder, StreamDecoder
+from compeg_tpu.errors import CompegError
+
+
+def frames_of(test_image, n=3, h=16, w=32, sampling="422"):
+    return [
+        encoder.encode(
+            test_image(h, w, "noise", seed=s), sampling=sampling, quality=80,
+            restart_interval_mcus=1,
+        )
+        for s in range(n)
+    ]
+
+
+def test_batch_matches_single(test_image):
+    frames = frames_of(test_image)
+    out = BatchDecoder(interpret=True).decode(frames)
+    assert out.shape[0] == len(frames)
+    for i, f in enumerate(frames):
+        want = golden.decode_rgb(f)
+        diff = np.abs(out[i].astype(int) - want.astype(int))
+        assert diff.max() <= 1
+
+
+def test_batch_rejects_mixed_geometry(test_image):
+    a = encoder.encode(test_image(16, 32), sampling="422", restart_interval_mcus=1)
+    b = encoder.encode(test_image(16, 48), sampling="422", restart_interval_mcus=1)
+    with pytest.raises(CompegError):
+        BatchDecoder(interpret=True).prepare_batch([a, b])
+
+
+def test_stream_decoder(test_image):
+    frames = frames_of(test_image, n=5)
+    outs = list(StreamDecoder(interpret=True).decode_iter(frames))
+    assert len(outs) == 5
+    for f, o in zip(frames, outs):
+        want = golden.decode_rgb(f)
+        diff = np.abs(np.asarray(o).astype(int) - want.astype(int))
+        assert diff.max() <= 1
