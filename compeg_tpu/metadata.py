@@ -110,12 +110,121 @@ SUPPORTED_SAMPLINGS = {
 }
 
 
-def analyze(data: bytes) -> ImageData:
+def analyze(data: bytes, use_native: Optional[bool] = None) -> ImageData:
     """Parse + validate ``data`` into an :class:`ImageData`.
 
-    Raises :class:`CompegError` for anything outside the supported envelope;
-    the caller should fall back to a general software decoder.
+    Uses the native C++ one-pass parser when available (falling back to the
+    Python parser, which also produces the detailed error messages for
+    malformed files). Raises :class:`CompegError` for anything outside the
+    supported envelope; the caller should fall back to a general software
+    decoder.
     """
+    if use_native is not False:
+        try:
+            from . import native
+
+            if native.available():
+                return _finish_analysis(_native_raw(data, native), data)
+        except CompegError:
+            pass  # re-parse in Python for the canonical error/behavior
+    return _analyze_python(data)
+
+
+def _native_raw(data: bytes, native) -> dict:
+    """Run the C++ parser and lift its flat struct into the same raw dict the
+    Python walk produces."""
+    info = native.parse(bytes(data))
+    qtables = {
+        t: np.ctypeslib.as_array(info.qtab[t]).astype(np.int32)
+        for t in range(4)
+        if info.qtab_present[t]
+    }
+    htables = dict(default_tables())
+    for i in range(info.n_huff):
+        counts = tuple(info.ht_counts[i])
+        values = tuple(info.ht_values[i][: info.ht_nvalues[i]])
+        htables[(info.ht_class[i], info.ht_dest[i])] = build_table(counts, values)
+    comps = [
+        dict(
+            id=info.comp_id[k],
+            h=info.comp_h[k],
+            v=info.comp_v[k],
+            q=info.comp_q[k],
+            dc=info.comp_dc[k],
+            ac=info.comp_ac[k],
+        )
+        for k in range(info.ncomp)
+    ]
+    return dict(
+        sof_marker=info.sof_marker,
+        precision=info.precision,
+        width=info.width,
+        height=info.height,
+        comps=comps,
+        qtables=qtables,
+        htables=htables,
+        ri=info.restart_interval if info.has_dri else None,
+        ss=info.ss,
+        se=info.se,
+        ah=info.ah,
+        al=info.al,
+        scan_offset=info.scan_offset,
+        scan_len=info.scan_len,
+        scan_comp_ids=[c["id"] for c in comps],
+    )
+
+
+def _finish_analysis(raw: dict, data: bytes) -> ImageData:
+    """Shared envelope validation + geometry derivation."""
+    if raw["sof_marker"] != P.SOF0:
+        bail(
+            "only baseline (SOF0) is supported, got "
+            f"{P.marker_name(raw['sof_marker'])}"
+        )
+    if raw["precision"] != 8:
+        bail(f"only 8-bit precision is supported, got {raw['precision']}")
+    if raw["width"] == 0 or raw["height"] == 0:
+        bail("zero image dimension")
+    sampling = tuple((c["h"], c["v"]) for c in raw["comps"])
+    if sampling not in SUPPORTED_SAMPLINGS:
+        bail(f"unsupported component sampling {sampling}")
+    if raw["ss"] != 0 or raw["se"] != 63 or raw["ah"] != 0 or raw["al"] != 0:
+        bail("non-baseline scan header")
+
+    comps: List[ComponentInfo] = []
+    for c in raw["comps"]:
+        if c["q"] not in raw["qtables"]:
+            bail(f"component references missing qtable {c['q']}")
+        for cls, slot in ((0, c["dc"]), (1, c["ac"])):
+            if (cls, slot) not in raw["htables"]:
+                bail(f"component references missing huffman table ({cls},{slot})")
+        comps.append(ComponentInfo(c["id"], c["h"], c["v"], c["q"], c["dc"], c["ac"]))
+
+    img = ImageData(
+        width=raw["width"],
+        height=raw["height"],
+        components=comps,
+        qtables=raw["qtables"],
+        htables=raw["htables"],
+        restart_interval=0,
+        scan_data=data[raw["scan_offset"] : raw["scan_offset"] + raw["scan_len"]],
+    )
+    ri = raw["ri"]
+    img.max_h = max(c.h_sample for c in comps)
+    img.max_v = max(c.v_sample for c in comps)
+    img.width_mcus = -(-img.width // (8 * img.max_h))
+    img.height_mcus = -(-img.height // (8 * img.max_v))
+    img.total_mcus = img.width_mcus * img.height_mcus
+    img.had_dri = ri is not None and ri > 0
+    img.restart_interval = ri if img.had_dri else img.total_mcus
+    img.total_restart_intervals = -(-img.total_mcus // img.restart_interval)
+    img.du_to_comp = _derive_du_layout(comps)
+    img.dus_per_mcu = len(img.du_to_comp)
+    return img
+
+
+def _analyze_python(data: bytes) -> ImageData:
+    """Pure-Python analysis path (fallback + test oracle)."""
     qtables: Dict[int, np.ndarray] = {}
     htables: Dict[Tuple[int, int], CanonicalTable] = dict(default_tables())
     sof: Optional[P.SofSegment] = None

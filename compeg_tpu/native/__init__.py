@@ -59,6 +59,12 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.compeg_parse.restype = ctypes.c_int
+    lib.compeg_parse.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
     lib.compeg_find_scan_end.restype = ctypes.c_int64
     lib.compeg_find_scan_end.argtypes = [
         ctypes.c_char_p,
@@ -126,6 +132,52 @@ def pack(
 
         bail(f"native pack failed ({rc})")
     return words, active
+
+
+class CompegImageInfo(ctypes.Structure):
+    _fields_ = [
+        ("status", ctypes.c_int32),
+        ("width", ctypes.c_int32),
+        ("height", ctypes.c_int32),
+        ("precision", ctypes.c_int32),
+        ("sof_marker", ctypes.c_int32),
+        ("ncomp", ctypes.c_int32),
+        ("comp_id", ctypes.c_int32 * 4),
+        ("comp_h", ctypes.c_int32 * 4),
+        ("comp_v", ctypes.c_int32 * 4),
+        ("comp_q", ctypes.c_int32 * 4),
+        ("comp_dc", ctypes.c_int32 * 4),
+        ("comp_ac", ctypes.c_int32 * 4),
+        ("has_dri", ctypes.c_int32),
+        ("restart_interval", ctypes.c_int32),
+        ("scan_offset", ctypes.c_int64),
+        ("scan_len", ctypes.c_int64),
+        ("ss", ctypes.c_int32),
+        ("se", ctypes.c_int32),
+        ("ah", ctypes.c_int32),
+        ("al", ctypes.c_int32),
+        ("qtab_present", ctypes.c_int32 * 4),
+        ("qtab", (ctypes.c_int32 * 64) * 4),
+        ("n_huff", ctypes.c_int32),
+        ("ht_class", ctypes.c_int32 * 8),
+        ("ht_dest", ctypes.c_int32 * 8),
+        ("ht_nvalues", ctypes.c_int32 * 8),
+        ("ht_counts", (ctypes.c_uint8 * 16) * 8),
+        ("ht_values", (ctypes.c_uint8 * 256) * 8),
+    ]
+
+
+def parse(data: bytes) -> CompegImageInfo:
+    """Native one-pass container parse. Raises CompegError on failure."""
+    lib = load()
+    assert lib is not None
+    info = CompegImageInfo()
+    rc = lib.compeg_parse(data, len(data), ctypes.byref(info))
+    if rc != 0:
+        from ..errors import bail
+
+        bail(f"native parse failed (status {rc})")
+    return info
 
 
 def find_scan_end(data: bytes, offset: int = 0) -> int:
