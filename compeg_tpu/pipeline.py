@@ -148,27 +148,30 @@ class Decoder:
 
     def prepare(self, data) -> PreparedFrame:
         from . import native
+        from .profiling import stage_timer
 
-        img = data if isinstance(data, ImageData) else analyze(data)
+        with stage_timer("parse"):
+            img = data if isinstance(data, ImageData) else analyze(data)
         expected = img.total_restart_intervals
         if native.available():
             g = -(-expected // S.SEGMENTS_PER_BLOCK)
             w = self._cached_width
             words = active = None
-            if w is not None:
-                try:
+            with stage_timer("preprocess"):
+                if w is not None:
+                    try:
+                        words, active = native.pack(img.scan_data, expected, w, g)
+                    except CompegError:
+                        words = None  # overflow or count change: re-measure
+                if words is None:
+                    n, mx = native.scan_info(img.scan_data)
+                    if n != expected:
+                        raise CompegError(
+                            f"scan contains {n} restart intervals, expected {expected}"
+                        )
+                    w = self._bucket_width(S._words_per_segment(mx))
+                    self._cached_width = w
                     words, active = native.pack(img.scan_data, expected, w, g)
-                except CompegError:
-                    words = None  # overflow or count change: re-measure
-            if words is None:
-                n, mx = native.scan_info(img.scan_data)
-                if n != expected:
-                    raise CompegError(
-                        f"scan contains {n} restart intervals, expected {expected}"
-                    )
-                w = self._bucket_width(S._words_per_segment(mx))
-                self._cached_width = w
-                words, active = native.pack(img.scan_data, expected, w, g)
             dscan = S.DeviceScan(words, active, expected, w)
         else:
             # Pure-Python fallback path.

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Streaming decode viewer / throughput monitor.
+
+The analogue of the reference's ``examples/viewer.rs`` (decode an MJPEG
+webcam stream frame-by-frame into the render pipeline). Without a display
+server this version streams JPEG frames — from files, a directory, or one
+file looped — through the pipelined StreamDecoder and reports live fps;
+``--save-dir`` writes decoded frames out as PNGs.
+
+    python examples/viewer.py frame.jpg --loop 100
+    python examples/viewer.py captures/*.jpg --save-dir decoded/
+"""
+
+import argparse
+import itertools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("inputs", nargs="+", help="JPEG files (or one file with --loop)")
+    ap.add_argument("--loop", type=int, default=0, help="loop the input N times")
+    ap.add_argument("--save-dir", default=None)
+    ap.add_argument("--stats-every", type=int, default=30)
+    args = ap.parse_args()
+
+    from compeg_tpu.batch import StreamDecoder
+    from compeg_tpu.profiling import log_stats
+
+    import logging
+
+    logging.basicConfig(level=logging.INFO)
+
+    frames = [open(f, "rb").read() for f in args.inputs]
+    if args.loop:
+        frames = list(itertools.chain.from_iterable([frames] * args.loop))
+
+    dec = StreamDecoder()
+    t0 = time.perf_counter()
+    n = 0
+    last = t0
+    for out in dec.decode_iter(frames):
+        if args.save_dir:
+            from PIL import Image
+
+            os.makedirs(args.save_dir, exist_ok=True)
+            Image.fromarray(np.asarray(out)).save(
+                os.path.join(args.save_dir, f"frame_{n:05d}.png")
+            )
+        n += 1
+        if n % args.stats_every == 0:
+            now = time.perf_counter()
+            print(
+                f"{n} frames | {args.stats_every / (now - last):.1f} fps "
+                f"(avg {n / (now - t0):.1f})"
+            )
+            last = now
+    dt = time.perf_counter() - t0
+    print(f"done: {n} frames in {dt:.2f}s = {n / dt:.1f} fps")
+    log_stats()
+
+
+if __name__ == "__main__":
+    main()
