@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Scaling-efficiency benchmark of the sharded decode program.
+
+Runs the sharded batched decode (data-parallel frames) on virtual CPU
+meshes of 1/2/4/8 devices (weak scaling: batch ∝ devices) and reports
+frames/s and efficiency. On a real pod slice the same program runs over
+hosts+chips via parallel/multihost.py; this validates the program structure
+and measures its parallel efficiency where we lack multi-chip hardware.
+
+    python bench_scaling.py            # CPU virtual mesh (default 8-way)
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def main() -> None:
+    import jax.numpy as jnp
+
+    from compeg_tpu import analyze, encoder
+    from compeg_tpu.parallel import sharding as SH
+    from compeg_tpu.parallel.multihost import measure_scaling
+    from compeg_tpu.pipeline import FrameGeometry
+
+    # A modest frame so CPU interpret-mode timings stay tractable.
+    h, w = 64, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 3 % 256, yy * 5 % 256, (xx + yy) % 256], axis=-1
+    ).astype(np.uint8)
+    data = encoder.encode(img, sampling="422", quality=85, restart_interval_mcus=1)
+    meta = analyze(data)
+    bf = SH.prepare_banded(meta, 1)
+    geom = FrameGeometry.from_image(meta)
+
+    def batch_for(n):
+        words, seg_mcus = SH.stack_banded([bf] * (2 * n))
+        return jnp.asarray(words), jnp.asarray(seg_mcus)
+
+    meshes = {}
+
+    def decode_fn(n, words, seg_mcus):
+        if n not in meshes:
+            meshes[n] = SH.make_mesh(n, 1)
+        return SH.decode_batch_sharded(
+            words,
+            seg_mcus,
+            jnp.asarray(bf.qz_by_slot),
+            bf.plan,
+            mesh=meshes[n],
+            geom=geom,
+            band_rows=bf.band_rows,
+            interpret=True,
+        )
+
+    counts = [n for n in (1, 2, 4, 8) if n <= len(jax.devices())]
+    results = measure_scaling(decode_fn, batch_for, counts)
+    for n, rate, eff in results:
+        print(f"# devices={n}: {rate:.1f} frames/s  efficiency={eff:.2f}",
+              file=sys.stderr)
+    n, rate, eff = results[-1]
+    print(json.dumps({
+        "metric": "sharded_decode_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": f"fraction at {n} virtual devices",
+        "vs_baseline": round(eff / 0.85, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

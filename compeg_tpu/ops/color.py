@@ -106,6 +106,13 @@ def ycbcr_to_rgb(y: jax.Array, cb: jax.Array, cr: jax.Array) -> jax.Array:
     return jnp.clip(rgb, 0, 255).astype(jnp.uint8)
 
 
+def rgb_to_rgba(rgb: jax.Array) -> jax.Array:
+    """Append an opaque alpha channel: the reference's rgba8unorm output
+    format (src/lib.rs:48, src/dct.wgsl:319)."""
+    a = jnp.full(rgb.shape[:-1] + (1,), 255, dtype=jnp.uint8)
+    return jnp.concatenate([rgb, a], axis=-1)
+
+
 def finalize_band(
     pixels: jax.Array,  # [G_b, RI, DUS, 64, 8, 128] int32 for one band
     *,

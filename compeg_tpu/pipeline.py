@@ -205,7 +205,19 @@ class Decoder:
         """Decode one JPEG to an [H, W, 3] u8 RGB numpy array."""
         return np.asarray(self.decode_prepared(self.prepare(data)))
 
+    def decode_rgba(self, data) -> np.ndarray:
+        """Decode to [H, W, 4] u8 RGBA (alpha=255) — the reference's output
+        format (rgba8unorm texture, src/lib.rs:48)."""
+        from .ops.color import rgb_to_rgba
+
+        return np.asarray(rgb_to_rgba(self.decode_prepared(self.prepare(data))))
+
 
 def decode_rgb(data: bytes, retained_coefficients: int = 64) -> np.ndarray:
     """One-shot decode on the default backend."""
     return Decoder(retained_coefficients).decode(data)
+
+
+def decode_rgba(data: bytes, retained_coefficients: int = 64) -> np.ndarray:
+    """One-shot decode to RGBA8."""
+    return Decoder(retained_coefficients).decode_rgba(data)
