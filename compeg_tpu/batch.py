@@ -125,23 +125,21 @@ class StreamDecoder:
         self.depth = depth
 
     def decode_iter(self, frames: Iterable[bytes]) -> Iterator[jax.Array]:
-        """Yields device arrays ([H, W, 3] u8) in order, ``depth`` frames
-        in flight."""
+        """Yields device arrays in order (packed RGBA [H, W] u32 on the
+        fused path), ``depth`` frames in flight. Convert with
+        :meth:`to_rgb`."""
         inflight: List[jax.Array] = []
         for data in frames:
             pf = self._dec.prepare(data)
-            words = jax.device_put(pf.words)
-            seg_mcus = jax.device_put(pf.seg_mcus)
-            out = decode_frame_device(
-                words,
-                seg_mcus,
-                pf.qz_by_slot,
-                pf.plan,
-                pf.geom,
-                self._dec.retained,
-                self._dec.interpret,
-            )
-            inflight.append(out)
+            inflight.append(self._dec.decode_prepared(pf))
             if len(inflight) >= self.depth:
                 yield inflight.pop(0)
         yield from inflight
+
+    def to_rgb(self, out: jax.Array) -> np.ndarray:
+        """Device output -> [H, W, 3] u8 numpy (synchronizes)."""
+        return self._dec._to_rgb(out)
+
+    def decode_iter_rgb(self, frames: Iterable[bytes]) -> Iterator[np.ndarray]:
+        for out in self.decode_iter(frames):
+            yield self.to_rgb(out)

@@ -1,0 +1,277 @@
+"""Fully fused decode kernel: entropy -> IDCT -> upsample/color -> RGBA.
+
+The reference leaves stage fusion as a FIXME ("use a subset of the DCT
+threads to do [compositing], saves a trip to memory", src/dct.wgsl:203-215).
+On TPU the fusion is decisive: the unfused pipeline's coefficient and pixel
+intermediates cost two 66 MB HBM round-trips plus XLA relayouts — more
+device time than the decode itself. This kernel keeps a block's
+coefficients in VMEM from entropy decode through to packed RGBA pixels:
+
+  phase 1  entropy decode (identical logic to ops/entropy.py) into a VMEM
+           coefficient scratch [DUS, 64z, 8, 128]
+  phase 2  dequant (broadcast multiply) + IDCT as 8 MXU matmuls per DU slot
+           (L[64,64] @ X[64,128] per sublane) + 128.5/clamp/truncate
+  phase 3  per-MCU compositing: static slot/row selection implements the
+           nearest-neighbor chroma upsampling; integer BT.601 with the
+           reference's constants; packed rgba8 u32 stores (the reference's
+           texture format, src/lib.rs:48)
+
+Output stays segment-major ([G, RI, mcu_h, mcu_w, 8, 128] u32, one u32 per
+pixel); `assemble_image` turns it into the raster [H, W] RGBA image with a
+single u32 transpose.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scan import LANES, SUBLANES
+from .entropy import (
+    EntropyPlan,
+    I32,
+    U32,
+    _consume,
+    _decode_code,
+    _extend,
+    _peek,
+    _refill,
+)
+from .luts import idct_matrix_zigzag
+
+F32 = jnp.float32
+
+
+def _mcu_shape(samplings) -> Tuple[int, int]:
+    return 8 * max(s[1] for s in samplings), 8 * max(s[0] for s in samplings)
+
+
+def _slot_layout(samplings):
+    """Per-component (first_slot, h, v) in MCU slot order."""
+    out = []
+    slot = 0
+    for (h, v) in samplings:
+        out.append((slot, h, v))
+        slot += h * v
+    return out
+
+
+def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int):
+    W = plan.words_per_segment
+    dus = plan.dus_per_mcu
+    mh, mw = _mcu_shape(samplings)
+    layout = _slot_layout(samplings)
+
+    def kernel(words_ref, segmcus_ref, qz_ref, l_ref, out_ref, coeff_s, pix_s,
+               hi_s, lo_s, nb_s, wi_s, dp_s):
+        m = pl.program_id(1)
+
+        @pl.when(m == 0)
+        def _():
+            hi_s[:] = jnp.zeros((SUBLANES, LANES), U32)
+            lo_s[:] = jnp.zeros((SUBLANES, LANES), U32)
+            nb_s[:] = jnp.zeros((SUBLANES, LANES), I32)
+            wi_s[:] = jnp.zeros((SUBLANES, LANES), I32)
+            dp_s[:] = jnp.zeros((3, SUBLANES, LANES), I32)
+
+        coeff_s[:] = jnp.zeros((dus, 64, SUBLANES, LANES), I32)
+
+        hi, lo = hi_s[:], lo_s[:]
+        nbits, widx = nb_s[:], wi_s[:]
+        words = [words_ref[0, k] for k in range(W)]
+        act = m < segmcus_ref[0]
+
+        def decode_symbol(tc, hi, lo, nbits, widx, mask):
+            h2, l2, n2, w2 = _refill(words, hi, lo, nbits, widx, W)
+            hi = jnp.where(mask, h2, hi)
+            lo = jnp.where(mask, l2, lo)
+            nbits = jnp.where(mask, n2, nbits)
+            widx = jnp.where(mask, w2, widx)
+            value, ln = _decode_code(tc, hi)
+            hi, lo, nbits = _consume(hi, lo, nbits, jnp.where(mask, ln, 0))
+            return value, hi, lo, nbits, widx
+
+        # ---- phase 1: entropy decode into coeff_s ------------------------
+        for slot, comp in enumerate(plan.du_to_comp):
+            dctab = plan.dc[comp]
+            actab = plan.ac[comp]
+
+            ssss, hi, lo, nbits, widx = decode_symbol(dctab, hi, lo, nbits, widx, act)
+            v = _peek(hi, ssss).astype(I32)
+            hi, lo, nbits = _consume(hi, lo, nbits, jnp.where(act, ssss, 0))
+            diff = _extend(v, ssss)
+            dp = dp_s[comp] + jnp.where(act, diff, 0)
+            dp_s[comp] = dp
+            coeff_s[slot, 0] = jnp.where(act, dp, 0)
+
+            def decode_next(base, hi, lo, nbits, widx, mask):
+                value, hi, lo, nbits, widx = decode_symbol(
+                    actab, hi, lo, nbits, widx, mask
+                )
+                rrrr = jax.lax.shift_right_logical(value, 4)
+                s = value & 0xF
+                v = _peek(hi, s).astype(I32)
+                hi, lo, nbits = _consume(hi, lo, nbits, jnp.where(mask, s, 0))
+                coeff = _extend(v, s)
+                is_eob = mask & (value == 0)
+                is_zrl = mask & (value == 0xF0)
+                nextpos = jnp.where(
+                    is_eob, 64, jnp.where(is_zrl, base + 15, base + rrrr)
+                )
+                nextpos = jnp.minimum(nextpos, 64)
+                nextval = jnp.where(is_eob | is_zrl, 0, coeff)
+                return nextpos, nextval, hi, lo, nbits, widx
+
+            np0, nv0, hi, lo, nbits, widx = decode_next(
+                jnp.ones_like(widx), hi, lo, nbits, widx, act
+            )
+            np0 = jnp.where(act, np0, 64)
+
+            def cond(state):
+                return state[0] < 64
+
+            def body(state):
+                j, nextpos, nextval, hi, lo, nbits, widx = state
+                commit = nextpos == j
+                coeff_s[slot, pl.ds(j, 1)] = jnp.where(commit, nextval, 0)[None]
+                mask_next = commit & (j < 63)
+                np1, nv1, hi, lo, nbits, widx = decode_next(
+                    j + 1, hi, lo, nbits, widx, mask_next
+                )
+                nextpos = jnp.where(commit, jnp.where(mask_next, np1, 64), nextpos)
+                nextval = jnp.where(commit, jnp.where(mask_next, nv1, 0), nextval)
+                j = jnp.min(nextpos).astype(I32)
+                return j, nextpos, nextval, hi, lo, nbits, widx
+
+            j0 = jnp.min(np0).astype(I32)
+            state = jax.lax.while_loop(
+                cond, body, (j0, np0, nv0, hi, lo, nbits, widx)
+            )
+            _, _, _, hi, lo, nbits, widx = state
+
+        hi_s[:], lo_s[:] = hi, lo
+        nb_s[:], wi_s[:] = nbits, widx
+
+        # ---- phase 2: dequant + IDCT per DU slot -------------------------
+        L = l_ref[:]
+        for slot in range(dus):
+            xf = coeff_s[slot].astype(F32) * qz_ref[slot]
+            for s in range(SUBLANES):
+                # HIGHEST keeps the MXU's f32 path (multi-pass bf16) so the
+                # pixel output stays within +-1 of the f32 golden decoder.
+                p = jnp.dot(
+                    L, xf[:, s, :],
+                    preferred_element_type=F32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                p = jnp.clip(p + F32(128.5), 0.0, 255.0)
+                pix_s[slot, :, s, :] = p.astype(I32)
+
+        # ---- phase 3: composite MCU -> packed RGBA -----------------------
+        gray = len(samplings) == 1
+        ys0, yh, yv = layout[0]
+        for r in range(mh):
+            for x in range(mw):
+                # luma slot + in-DU position (sampling-relative coordinates)
+                yslot = ys0 + (r * yv // mh) * yh + (x * yh // mw)
+                yp = (r * yv * 8 // mh % 8) * 8 + (x * yh * 8 // mw % 8)
+                y = pix_s[yslot, yp]
+                if gray:
+                    rr = gg = bb = y
+                else:
+                    cs0, ch, cv = layout[1]
+                    cslot = cs0  # chroma is 1x1 in every supported sampling
+                    cp = (r * cv * 8 // mh) * 8 + (x * ch * 8 // mw)
+                    cb = pix_s[cslot, cp] - 128
+                    cr = pix_s[layout[2][0], cp] - 128
+                    rr = y + ((45 * cr) >> 5)
+                    gg = y - ((11 * cb + 23 * cr) >> 5)
+                    bb = y + ((113 * cb) >> 6)
+                rr = jnp.clip(rr, 0, 255)
+                gg = jnp.clip(gg, 0, 255)
+                bb = jnp.clip(bb, 0, 255)
+                rgba = rr | (gg << 8) | (bb << 16) | jnp.int32(-16777216)
+                out_ref[0, 0, r, x] = jax.lax.bitcast_convert_type(rgba, U32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("plan", "samplings", "retained", "interpret")
+)
+def fused_decode_blocks(
+    words: jax.Array,  # [G, W, 8, 128] uint32
+    seg_mcus: jax.Array,  # [G, 8, 128] int32
+    qz_f32: jax.Array,  # [DUS, 64, 8, 128] broadcast f32 quantizers
+    idct_l: jax.Array,  # [64, 64] f32 IDCT operator (retained folded in)
+    plan: EntropyPlan,
+    samplings: Tuple[Tuple[int, int], ...],
+    retained: int = 64,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full fused decode. Returns ``[G, RI, mcu_h, mcu_w, 8, 128]`` u32
+    packed RGBA (r | g<<8 | b<<16 | a<<24), segment-major."""
+    G = plan.num_blocks
+    W = plan.words_per_segment
+    dus = plan.dus_per_mcu
+    mh, mw = _mcu_shape(samplings)
+    kernel = _make_fused_kernel(plan, samplings, retained)
+    return pl.pallas_call(
+        kernel,
+        grid=(G, plan.ri),
+        in_specs=[
+            pl.BlockSpec(
+                (1, W, SUBLANES, LANES), lambda g, m: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, SUBLANES, LANES), lambda g, m: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, mh, mw, SUBLANES, LANES),
+            lambda g, m: (g, m, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((G, plan.ri, mh, mw, SUBLANES, LANES), U32),
+        scratch_shapes=[
+            pltpu.VMEM((dus, 64, SUBLANES, LANES), I32),
+            pltpu.VMEM((dus, 64, SUBLANES, LANES), I32),
+            pltpu.VMEM((SUBLANES, LANES), U32),
+            pltpu.VMEM((SUBLANES, LANES), U32),
+            pltpu.VMEM((SUBLANES, LANES), I32),
+            pltpu.VMEM((SUBLANES, LANES), I32),
+            pltpu.VMEM((3, SUBLANES, LANES), I32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(words, seg_mcus, qz_f32, idct_l)
+
+
+@functools.partial(jax.jit, static_argnames=("geom",))
+def assemble_image(blocks: jax.Array, geom) -> jax.Array:
+    """Segment-major RGBA blocks -> raster ``[H, W]`` u32 image."""
+    G, RI, mh, mw, S, L = blocks.shape
+    # MCU index = (g*1024 + sub*128 + lane) * RI + m.
+    x = blocks.transpose(0, 4, 5, 1, 2, 3).reshape(G * S * L * RI, mh, mw)
+    hm, wm = geom.height_mcus, geom.width_mcus
+    x = x[: hm * wm].reshape(hm, wm, mh, mw).transpose(0, 2, 1, 3)
+    img = x.reshape(hm * mh, wm * mw)
+    return img[: geom.height, : geom.width]
+
+
+def rgba_to_rgb_array(img_u32: np.ndarray) -> np.ndarray:
+    """[H, W] u32 packed -> [H, W, 3] u8 (host-side view/cast)."""
+    v = np.asarray(img_u32)
+    return v.view(np.uint8).reshape(v.shape + (4,))[..., :3]

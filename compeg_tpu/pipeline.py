@@ -90,6 +90,28 @@ def decode_frame_device(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("plan", "geom", "retained", "interpret")
+)
+def decode_frame_fused(
+    words: jax.Array,  # [G, W, 8, 128] uint32
+    seg_mcus: jax.Array,  # [G, 8, 128] int32
+    qz_bcast: jax.Array,  # [DUS, 64, 8, 128] f32
+    idct_l: jax.Array,  # [64, 64] f32
+    plan: E.EntropyPlan,
+    geom: FrameGeometry,
+    retained: int = 64,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single fused kernel path: scan words -> packed RGBA [H, W] u32."""
+    from .ops import fused as F
+
+    blocks = F.fused_decode_blocks(
+        words, seg_mcus, qz_bcast, idct_l, plan, geom.samplings, retained, interpret
+    )
+    return F.assemble_image(blocks, geom)
+
+
 @dataclass
 class PreparedFrame:
     """Host-side preprocessing result for one frame — everything the device
@@ -128,11 +150,22 @@ class Decoder:
     compiled pipelines are reused (the role of the reference's per-``Decoder``
     resource reuse)."""
 
-    def __init__(self, retained_coefficients: int = 64, interpret: Optional[bool] = None):
+    def __init__(
+        self,
+        retained_coefficients: int = 64,
+        interpret: Optional[bool] = None,
+        fused: bool = True,
+    ):
         self.retained = retained_coefficients
         self.interpret = (
             E._interpret_default() if interpret is None else interpret
         )
+        # The fused single-kernel path (entropy+IDCT+color in VMEM) is the
+        # fast path; the staged path remains for debugging/inspection.
+        self.fused = fused
+        # Device-resident per-stream constants (quantizer broadcast + IDCT
+        # operator), keyed by the quantizer bytes.
+        self._const_cache: Dict[bytes, Tuple[jax.Array, jax.Array]] = {}
         # Bucket scan width to cut recompiles across slightly-varying frames.
         self._width_buckets = (6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
         # Steady-state width cache: frames of a stream reuse the last bucket
@@ -190,7 +223,38 @@ class Decoder:
             image=img,
         )
 
+    def _stream_consts(self, pf: PreparedFrame) -> Tuple[jax.Array, jax.Array]:
+        key = pf.qz_by_slot.tobytes() + bytes([self.retained])
+        hit = self._const_cache.get(key)
+        if hit is None:
+            from .ops.luts import idct_matrix_zigzag
+
+            qz_bcast = np.broadcast_to(
+                pf.qz_by_slot.astype(np.float32)[:, :, None, None],
+                pf.qz_by_slot.shape + (S.SUBLANES, S.LANES),
+            )
+            hit = (
+                jax.device_put(np.ascontiguousarray(qz_bcast)),
+                jax.device_put(idct_matrix_zigzag(self.retained)),
+            )
+            self._const_cache[key] = hit
+        return hit
+
     def decode_prepared(self, pf: PreparedFrame) -> jax.Array:
+        """Async decode. Fused path returns packed RGBA [H, W] u32; staged
+        path returns [H, W, 3] u8."""
+        if self.fused:
+            qz_bcast, idct_l = self._stream_consts(pf)
+            return decode_frame_fused(
+                pf.words,
+                pf.seg_mcus,
+                qz_bcast,
+                idct_l,
+                pf.plan,
+                pf.geom,
+                self.retained,
+                self.interpret,
+            )
         return decode_frame_device(
             pf.words,
             pf.seg_mcus,
@@ -201,16 +265,27 @@ class Decoder:
             self.interpret,
         )
 
+    def _to_rgb(self, out: jax.Array) -> np.ndarray:
+        if self.fused:
+            from .ops.fused import rgba_to_rgb_array
+
+            return np.ascontiguousarray(rgba_to_rgb_array(np.asarray(out)))
+        return np.asarray(out)
+
     def decode(self, data) -> np.ndarray:
         """Decode one JPEG to an [H, W, 3] u8 RGB numpy array."""
-        return np.asarray(self.decode_prepared(self.prepare(data)))
+        return self._to_rgb(self.decode_prepared(self.prepare(data)))
 
     def decode_rgba(self, data) -> np.ndarray:
         """Decode to [H, W, 4] u8 RGBA (alpha=255) — the reference's output
         format (rgba8unorm texture, src/lib.rs:48)."""
+        out = self.decode_prepared(self.prepare(data))
+        if self.fused:
+            v = np.asarray(out)
+            return v.view(np.uint8).reshape(v.shape + (4,))
         from .ops.color import rgb_to_rgba
 
-        return np.asarray(rgb_to_rgba(self.decode_prepared(self.prepare(data))))
+        return np.asarray(rgb_to_rgba(out))
 
 
 def decode_rgb(data: bytes, retained_coefficients: int = 64) -> np.ndarray:

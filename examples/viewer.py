@@ -50,7 +50,7 @@ def main() -> None:
             from PIL import Image
 
             os.makedirs(args.save_dir, exist_ok=True)
-            Image.fromarray(np.asarray(out)).save(
+            Image.fromarray(dec.to_rgb(out)).save(
                 os.path.join(args.save_dir, f"frame_{n:05d}.png")
             )
         n += 1

@@ -37,9 +37,9 @@ def test_batch_rejects_mixed_geometry(test_image):
 
 def test_stream_decoder(test_image):
     frames = frames_of(test_image, n=5)
-    outs = list(StreamDecoder(interpret=True).decode_iter(frames))
+    outs = list(StreamDecoder(interpret=True).decode_iter_rgb(frames))
     assert len(outs) == 5
     for f, o in zip(frames, outs):
         want = golden.decode_rgb(f)
-        diff = np.abs(np.asarray(o).astype(int) - want.astype(int))
+        diff = np.abs(o.astype(int) - want.astype(int))
         assert diff.max() <= 1
