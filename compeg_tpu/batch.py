@@ -46,7 +46,9 @@ def decode_batch_device(
     interpret: bool = False,
 ) -> jax.Array:
     """Decode ``batch`` same-geometry frames in one dispatch -> [B, H, W, 3]."""
-    coeffs = E.entropy_decode(words, seg_mcus, plan, interpret=interpret)
+    from .pipeline import _as_blocks
+
+    coeffs = E.entropy_decode(_as_blocks(words), seg_mcus, plan, interpret=interpret)
     pix = D.idct_pixels(coeffs, qz_by_slot, retained)
     g = pix.shape[0] // batch
     pix = pix.reshape((batch, g) + pix.shape[1:])

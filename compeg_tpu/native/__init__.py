@@ -71,6 +71,17 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
         ctypes.c_int64,
     ]
+    lib.compeg_pack_rows.restype = ctypes.c_int
+    lib.compeg_pack_rows.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+    ]
     lib.compeg_pack.restype = ctypes.c_int
     lib.compeg_pack.argtypes = [
         ctypes.c_char_p,
@@ -178,6 +189,40 @@ def parse(data: bytes) -> CompegImageInfo:
 
         bail(f"native parse failed (status {rc})")
     return info
+
+
+def pack_rows(
+    scan: bytes,
+    expected: int,
+    words_per_segment: int,
+    num_blocks: int,
+    n_threads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Destuff + split + pack into contiguous per-segment rows
+    ``[G*1024, W]`` (the device transposes into its block layout) and the
+    ``[G, 8, 128]`` active mask."""
+    lib = load()
+    assert lib is not None
+    G, W = num_blocks, words_per_segment
+    words = np.empty((G * 1024, W), dtype=np.uint32)
+    active = np.empty((G, 8, 128), dtype=np.int32)
+    if n_threads <= 0:
+        n_threads = min(4, os.cpu_count() or 1)
+    rc = lib.compeg_pack_rows(
+        scan,
+        len(scan),
+        expected,
+        W,
+        G,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        active.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads,
+    )
+    if rc != 0:
+        from ..errors import bail
+
+        bail(f"native pack_rows failed ({rc})")
+    return words, active
 
 
 def find_scan_end(data: bytes, offset: int = 0) -> int:

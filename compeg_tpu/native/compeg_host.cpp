@@ -146,6 +146,122 @@ int64_t pack_segment(const uint8_t* scan, SegSpan span, uint32_t* words,
 
 }  // namespace
 
+namespace {
+
+// Pack one segment into a contiguous row of W MSB-first words.
+// Returns destuffed byte count or -1 on overflow.
+int64_t pack_segment_row(const uint8_t* scan, SegSpan span, uint32_t* row,
+                         int64_t max_bytes) {
+  const int64_t raw = span.end - span.begin;
+  const uint8_t* src = scan + span.begin;
+  if (std::memchr(src, 0xFF, static_cast<size_t>(raw)) == nullptr) {
+    if (raw > max_bytes) return -1;
+    int64_t w = 0, i = 0;
+    for (; i + 4 <= raw; i += 4, w++) {
+      uint32_t v;
+      std::memcpy(&v, src + i, 4);
+      row[w] = __builtin_bswap32(v);
+    }
+    if (i < raw) {
+      uint32_t v = 0;
+      for (int64_t k = i; k < raw; k++)
+        v |= static_cast<uint32_t>(src[k]) << (24 - 8 * (k - i));
+      row[w] = v;
+    }
+    return raw;
+  }
+  int64_t off = 0;
+  uint32_t acc = 0;
+  for (int64_t i = span.begin; i < span.end;) {
+    uint8_t b = scan[i];
+    if (b == 0xFF && i + 1 < span.end && scan[i + 1] == 0x00) {
+      i += 2;
+    } else {
+      i += 1;
+    }
+    if (off >= max_bytes) return -1;
+    acc |= static_cast<uint32_t>(b) << (24 - 8 * (off & 3));
+    if ((off & 3) == 3) {
+      row[off >> 2] = acc;
+      acc = 0;
+    }
+    off++;
+  }
+  if (off & 3) row[off >> 2] = acc;
+  return off;
+}
+
+}  // namespace
+
+// Destuff + split + pack into contiguous per-segment rows [G*1024, W]
+// (the device transposes into its vector block layout — sequential writes
+// here are ~3x faster than packing the strided device layout on the host).
+//   words:  buffer of G*1024*W u32 (caller allocates; zero-filled here)
+//   active: buffer of G*1024 i32
+// Returns 0, or -2 segment overflow, -3 interval count mismatch.
+int compeg_pack_rows(const uint8_t* scan, int64_t len, int64_t expected,
+                     int32_t W, int32_t G, uint32_t* words, int32_t* active,
+                     int32_t n_threads) {
+  if (len <= 0) return -1;
+  std::vector<SegSpan> spans;
+  spans.reserve(static_cast<size_t>(expected));
+  int64_t start = 0;
+  int64_t i = 0;
+  while (i < len) {
+    const void* p = std::memchr(scan + i, 0xFF, static_cast<size_t>(len - i));
+    if (p == nullptr) break;
+    i = static_cast<const uint8_t*>(p) - scan;
+    if (i + 1 >= len) break;
+    uint8_t nxt = scan[i + 1];
+    if (nxt == 0x00) {
+      i += 2;
+    } else if (nxt >= 0xD0 && nxt <= 0xD7) {
+      spans.push_back({start, i});
+      i += 2;
+      start = i;
+    } else {
+      i++;
+    }
+  }
+  spans.push_back({start, len});
+  if (static_cast<int64_t>(spans.size()) != expected) return -3;
+
+  const int64_t max_bytes = static_cast<int64_t>(W) * 4 - 8;
+  const int64_t nseg = spans.size();
+  const int64_t total = static_cast<int64_t>(G) * kSegsPerBlock;
+  std::memset(active, 0, sizeof(int32_t) * total);
+
+  int rc = 0;
+  int nt = n_threads > 0 ? n_threads : 1;
+  std::vector<std::thread> ts;
+  std::vector<int> rcs(nt, 0);
+  int64_t chunk = (nseg + nt - 1) / nt;
+  auto work = [&](int t) {
+    int64_t lo = t * chunk, hi = std::min<int64_t>(nseg, lo + chunk);
+    if (lo < hi)
+      std::memset(words + lo * W, 0, sizeof(uint32_t) * (hi - lo) * W);
+    for (int64_t s = lo; s < hi; s++) {
+      if (pack_segment_row(scan, spans[s], words + s * W, max_bytes) < 0) {
+        rcs[t] = -2;
+        return;
+      }
+      active[s] = 1;
+    }
+  };
+  if (nt > 1) {
+    for (int t = 0; t < nt; t++) ts.emplace_back(work, t);
+    for (auto& th : ts) th.join();
+    for (int r : rcs)
+      if (r) rc = r;
+  } else {
+    work(0);
+  }
+  // Zero padding rows.
+  if (nseg < total)
+    std::memset(words + nseg * W, 0, sizeof(uint32_t) * (total - nseg) * W);
+  return rc;
+}
+
 // Destuff + split + pack into the TPU block layout.
 //   words:  zeroed buffer of G*W*8*128 u32 (caller allocates)
 //   active: buffer of G*8*128 i32 (caller allocates)

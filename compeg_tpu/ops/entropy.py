@@ -104,10 +104,13 @@ class EntropyPlan:
 # ---------------------------------------------------------------------------
 
 
-def _refill(words, hi, lo, nbits, widx, wmax):
+def _refill(words, hi, lo, nbits, widx, wmax, mask=None):
     """Top the window up to >=32 bits, fetching each lane's next word via a
-    masked select over the block's word rows (lanes cannot gather)."""
+    masked select over the block's word rows (lanes cannot gather).
+    ``mask`` excludes inactive lanes entirely."""
     need = nbits < 32
+    if mask is not None:
+        need = need & mask
     wi = jnp.minimum(widx, wmax - 1)
     w = jnp.zeros_like(hi)
     for k in range(wmax):
@@ -151,11 +154,25 @@ def _decode_code(tc: TableConsts, hi):
         if tc.delta[j] != 0:
             delta = jnp.where(ln == j, tc.delta[j], delta)
     k = jnp.clip(k + delta, 0, tc.num_values - 1)
-    # Value fetch: select the packed word, dynamic-shift out the byte.
+    # Value fetch: packed-word mux tree (conditions shared per level) then a
+    # per-lane dynamic-shift byte extract.
     wsel = k >> 2
-    vw = jnp.zeros_like(c16)
-    for w, word in enumerate(tc.value_words):
-        vw = jnp.where(wsel == w, word, vw)
+    nodes = list(tc.value_words)
+    bit = 0
+    while len(nodes) > 1:
+        cond = (wsel & (1 << bit)) != 0
+        nxt = []
+        for i in range(0, len(nodes) - 1, 2):
+            a, b = nodes[i], nodes[i + 1]
+            if isinstance(a, int) and isinstance(b, int) and a == b:
+                nxt.append(a)
+            else:
+                nxt.append(jnp.where(cond, b, a))
+        if len(nodes) % 2:
+            nxt.append(nodes[-1])
+        nodes = nxt
+        bit += 1
+    vw = nodes[0] if not isinstance(nodes[0], int) else jnp.full_like(c16, nodes[0])
     value = jax.lax.shift_right_logical(vw, (k & 3) * 8) & 0xFF
     return value, ln
 
@@ -205,26 +222,33 @@ def _make_kernel(plan: EntropyPlan):
         # short final interval, and keeps the kernel shard-position-agnostic.
         act = m < segmcus_ref[0]
 
-        def decode_symbol(tc, hi, lo, nbits, widx, mask):
-            """Refill + decode one (code, magnitude) pair on lanes in
-            ``mask``; masked lanes neither fetch nor consume."""
-            h2, l2, n2, w2 = _refill(words, hi, lo, nbits, widx, W)
-            hi = jnp.where(mask, h2, hi)
-            lo = jnp.where(mask, l2, lo)
-            nbits = jnp.where(mask, n2, nbits)
-            widx = jnp.where(mask, w2, widx)
+        def decode_symbol(tc, hi, lo, nbits, widx, mask, nmag):
+            """Refill + decode one (code + nmag(value)-bit magnitude) pair
+            on lanes in ``mask``; masked lanes neither fetch nor consume.
+            Returns (value, magnitude) having consumed code+magnitude bits
+            in a single window advance."""
+            hi, lo, nbits, widx = _refill(words, hi, lo, nbits, widx, W, mask)
             value, ln = _decode_code(tc, hi)
-            hi, lo, nbits = _consume(hi, lo, nbits, jnp.where(mask, ln, 0))
-            return value, hi, lo, nbits, widx
+            s = nmag(value)
+            # Magnitude bits live at window offset ln: shift them down and
+            # mask. ln + s <= 31 so a single consume covers both.
+            mag = jax.lax.shift_right_logical(
+                hi, (32 - (ln + s)).astype(U32)
+            ).astype(I32) & (jax.lax.shift_left(jnp.ones_like(s), s) - 1)
+            hi, lo, nbits = _consume(hi, lo, nbits, jnp.where(mask, ln + s, 0))
+            return value, s, mag, hi, lo, nbits, widx
 
         for slot, comp in enumerate(plan.du_to_comp):
             dctab = plan.dc[comp]
             actab = plan.ac[comp]
 
             # ---- DC coefficient ----------------------------------------
-            ssss, hi, lo, nbits, widx = decode_symbol(dctab, hi, lo, nbits, widx, act)
-            v = _peek(hi, ssss).astype(I32)
-            hi, lo, nbits = _consume(hi, lo, nbits, jnp.where(act, ssss, 0))
+            # DC magnitude clamp to 15 bits: legal 8-bit baseline categories
+            # are <=11; the clamp keeps corrupt tables from driving the
+            # combined consume past 31 bits.
+            _, ssss, v, hi, lo, nbits, widx = decode_symbol(
+                dctab, hi, lo, nbits, widx, act, lambda val: jnp.minimum(val, 15)
+            )
             diff = _extend(v, ssss)
             dp = dp_s[comp] + jnp.where(act, diff, 0)
             dp_s[comp] = dp
@@ -234,13 +258,10 @@ def _make_kernel(plan: EntropyPlan):
             # Pending state: nextpos/nextval hold each lane's next committed
             # coefficient; 64 means "none" (EOB, past position 63, inactive).
             def decode_next(base, hi, lo, nbits, widx, mask):
-                value, hi, lo, nbits, widx = decode_symbol(
-                    actab, hi, lo, nbits, widx, mask
+                value, s, v, hi, lo, nbits, widx = decode_symbol(
+                    actab, hi, lo, nbits, widx, mask, lambda val: val & 0xF
                 )
                 rrrr = jax.lax.shift_right_logical(value, 4)
-                s = value & 0xF
-                v = _peek(hi, s).astype(I32)
-                hi, lo, nbits = _consume(hi, lo, nbits, jnp.where(mask, s, 0))
                 coeff = _extend(v, s)
                 is_eob = mask & (value == 0)
                 is_zrl = mask & (value == 0xF0)
@@ -356,7 +377,7 @@ def entropy_decode(
             pltpu.VMEM((3, SUBLANES, LANES), I32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(words, seg_mcus)

@@ -87,73 +87,75 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int):
         words = [words_ref[0, k] for k in range(W)]
         act = m < segmcus_ref[0]
 
-        def decode_symbol(tc, hi, lo, nbits, widx, mask):
-            h2, l2, n2, w2 = _refill(words, hi, lo, nbits, widx, W)
-            hi = jnp.where(mask, h2, hi)
-            lo = jnp.where(mask, l2, lo)
-            nbits = jnp.where(mask, n2, nbits)
-            widx = jnp.where(mask, w2, widx)
+        def decode_symbol(tc, hi, lo, nbits, widx, mask, nmag):
+            # Refill + decode code + extract the nmag(value)-bit magnitude at
+            # window offset ln, consuming code+magnitude in one advance.
+            hi, lo, nbits, widx = _refill(words, hi, lo, nbits, widx, W, mask)
             value, ln = _decode_code(tc, hi)
-            hi, lo, nbits = _consume(hi, lo, nbits, jnp.where(mask, ln, 0))
-            return value, hi, lo, nbits, widx
+            s = nmag(value)
+            mag = jax.lax.shift_right_logical(
+                hi, (32 - (ln + s)).astype(U32)
+            ).astype(I32) & (jax.lax.shift_left(jnp.ones_like(s), s) - 1)
+            hi, lo, nbits = _consume(hi, lo, nbits, jnp.where(mask, ln + s, 0))
+            return value, s, mag, hi, lo, nbits, widx
 
         # ---- phase 1: entropy decode into coeff_s ------------------------
         for slot, comp in enumerate(plan.du_to_comp):
             dctab = plan.dc[comp]
             actab = plan.ac[comp]
 
-            ssss, hi, lo, nbits, widx = decode_symbol(dctab, hi, lo, nbits, widx, act)
-            v = _peek(hi, ssss).astype(I32)
-            hi, lo, nbits = _consume(hi, lo, nbits, jnp.where(act, ssss, 0))
+            # DC magnitude clamp to 15 bits: legal 8-bit baseline categories
+            # are <=11; the clamp keeps corrupt tables from driving the
+            # combined consume past 31 bits.
+            _, ssss, v, hi, lo, nbits, widx = decode_symbol(
+                dctab, hi, lo, nbits, widx, act, lambda val: jnp.minimum(val, 15)
+            )
             diff = _extend(v, ssss)
             dp = dp_s[comp] + jnp.where(act, diff, 0)
             dp_s[comp] = dp
             coeff_s[slot, 0] = jnp.where(act, dp, 0)
 
-            def decode_next(base, hi, lo, nbits, widx, mask):
-                value, hi, lo, nbits, widx = decode_symbol(
-                    actab, hi, lo, nbits, widx, mask
+            # AC loop, symbol-synchronous: every iteration decodes one AC
+            # symbol on every still-active lane and masked-stores the
+            # coefficient at its (divergent) zigzag row. Iteration count is
+            # the max *symbol count* over the block — ~2.7x fewer iterations
+            # than walking positions, at the price of a 64-row masked store.
+            iota_z = jax.lax.broadcasted_iota(I32, (64, SUBLANES, LANES), 0)
+
+            def cond(state):
+                done = state[0]
+                return jnp.any(done == 0)
+
+            def body(state):
+                done, pos, hi, lo, nbits, widx = state
+                mask = done == 0
+                value, s, v, hi, lo, nbits, widx = decode_symbol(
+                    actab, hi, lo, nbits, widx, mask, lambda val: val & 0xF
                 )
                 rrrr = jax.lax.shift_right_logical(value, 4)
-                s = value & 0xF
-                v = _peek(hi, s).astype(I32)
-                hi, lo, nbits = _consume(hi, lo, nbits, jnp.where(mask, s, 0))
                 coeff = _extend(v, s)
                 is_eob = mask & (value == 0)
                 is_zrl = mask & (value == 0xF0)
-                nextpos = jnp.where(
-                    is_eob, 64, jnp.where(is_zrl, base + 15, base + rrrr)
+                normal = mask & (s != 0)
+                newpos = jnp.where(
+                    is_zrl, pos + 16, jnp.where(normal, pos + rrrr + 1, pos)
                 )
-                nextpos = jnp.minimum(nextpos, 64)
-                nextval = jnp.where(is_eob | is_zrl, 0, coeff)
-                return nextpos, nextval, hi, lo, nbits, widx
-
-            np0, nv0, hi, lo, nbits, widx = decode_next(
-                jnp.ones_like(widx), hi, lo, nbits, widx, act
-            )
-            np0 = jnp.where(act, np0, 64)
-
-            def cond(state):
-                return state[0] < 64
-
-            def body(state):
-                j, nextpos, nextval, hi, lo, nbits, widx = state
-                commit = nextpos == j
-                coeff_s[slot, pl.ds(j, 1)] = jnp.where(commit, nextval, 0)[None]
-                mask_next = commit & (j < 63)
-                np1, nv1, hi, lo, nbits, widx = decode_next(
-                    j + 1, hi, lo, nbits, widx, mask_next
+                write = normal & (newpos <= 63)
+                wmask = (iota_z == newpos[None]) & write[None]
+                pltpu.store(
+                    coeff_s.at[slot],
+                    jnp.broadcast_to(coeff[None], (64, SUBLANES, LANES)),
+                    mask=wmask,
                 )
-                nextpos = jnp.where(commit, jnp.where(mask_next, np1, 64), nextpos)
-                nextval = jnp.where(commit, jnp.where(mask_next, nv1, 0), nextval)
-                j = jnp.min(nextpos).astype(I32)
-                return j, nextpos, nextval, hi, lo, nbits, widx
+                done = done | (is_eob | (mask & (newpos >= 63))).astype(I32)
+                return done, newpos, hi, lo, nbits, widx
 
-            j0 = jnp.min(np0).astype(I32)
+            done0 = jnp.logical_not(act).astype(I32)
             state = jax.lax.while_loop(
-                cond, body, (j0, np0, nv0, hi, lo, nbits, widx)
+                cond, body,
+                (done0, jnp.zeros_like(widx), hi, lo, nbits, widx),
             )
-            _, _, _, hi, lo, nbits, widx = state
+            _, _, hi, lo, nbits, widx = state
 
         hi_s[:], lo_s[:] = hi, lo
         nb_s[:], wi_s[:] = nbits, widx
@@ -253,7 +255,7 @@ def fused_decode_blocks(
             pltpu.VMEM((3, SUBLANES, LANES), I32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(words, seg_mcus, qz_f32, idct_l)

@@ -76,7 +76,7 @@ def decode_frame_device(
     interpret: bool = False,
 ) -> jax.Array:
     """The full on-device frame decode: scan words -> [H, W, 3] u8."""
-    coeffs = E.entropy_decode(words, seg_mcus, plan, interpret=interpret)
+    coeffs = E.entropy_decode(_as_blocks(words), seg_mcus, plan, interpret=interpret)
     pix = D.idct_pixels(coeffs, qz_by_slot, retained)
     return C.finalize_rgb(
         pix,
@@ -88,6 +88,19 @@ def decode_frame_device(
         width_mcus=geom.width_mcus,
         height_mcus=geom.height_mcus,
     )
+
+
+def rows_to_blocks(rows: jax.Array) -> jax.Array:
+    """Host-packed contiguous segment rows ``[G*1024, W]`` -> the kernel's
+    vector block layout ``[G, W, 8, 128]`` (a device-side transpose; the
+    host packs rows because strided column writes are cache-hostile)."""
+    n, w = rows.shape
+    g = n // (S.SUBLANES * S.LANES)
+    return rows.reshape(g, S.SUBLANES, S.LANES, w).transpose(0, 3, 1, 2)
+
+
+def _as_blocks(words: jax.Array) -> jax.Array:
+    return rows_to_blocks(words) if words.ndim == 2 else words
 
 
 @functools.partial(
@@ -107,7 +120,8 @@ def decode_frame_fused(
     from .ops import fused as F
 
     blocks = F.fused_decode_blocks(
-        words, seg_mcus, qz_bcast, idct_l, plan, geom.samplings, retained, interpret
+        _as_blocks(words), seg_mcus, qz_bcast, idct_l, plan, geom.samplings,
+        retained, interpret,
     )
     return F.assemble_image(blocks, geom)
 
@@ -193,7 +207,9 @@ class Decoder:
             with stage_timer("preprocess"):
                 if w is not None:
                     try:
-                        words, active = native.pack(img.scan_data, expected, w, g)
+                        words, active = native.pack_rows(
+                            img.scan_data, expected, w, g
+                        )
                     except CompegError:
                         words = None  # overflow or count change: re-measure
                 if words is None:
@@ -204,13 +220,18 @@ class Decoder:
                         )
                     w = self._bucket_width(S._words_per_segment(mx))
                     self._cached_width = w
-                    words, active = native.pack(img.scan_data, expected, w, g)
+                    words, active = native.pack_rows(img.scan_data, expected, w, g)
             dscan = S.DeviceScan(words, active, expected, w)
         else:
-            # Pure-Python fallback path.
+            # Pure-Python fallback path (converted to contiguous rows).
             intervals = S.split_intervals(img.scan_data, expected)
             needed = S._words_per_segment(max(len(s) for s in intervals))
-            dscan = S.to_device_layout(intervals, self._bucket_width(needed))
+            blk = S.to_device_layout(intervals, self._bucket_width(needed))
+            rows = np.ascontiguousarray(
+                blk.words.transpose(0, 2, 3, 1).reshape(-1, blk.words_per_segment)
+            )
+            dscan = S.DeviceScan(rows, blk.active, blk.num_segments,
+                                 blk.words_per_segment)
         plan = E.plan_from_image(img, dscan)
         return PreparedFrame(
             words=np.asarray(dscan.words, dtype=np.uint32),

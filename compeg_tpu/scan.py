@@ -113,7 +113,10 @@ class DeviceScan:
 
     @property
     def num_blocks(self) -> int:
-        return self.words.shape[0]
+        # Derived from the active mask ([G, 8, 128]) so it holds for both the
+        # block layout ([G, W, 8, 128]) and the contiguous row layout
+        # ([G*1024, W]) of `words`.
+        return self.active.shape[0]
 
 
 def to_device_layout(

@@ -74,3 +74,25 @@ def test_count_mismatch_detected(test_image):
 
     with pytest.raises(CompegError):
         native.pack(img.scan_data, img.total_restart_intervals + 1, 16, 1)
+
+
+@pytest.mark.parametrize("kind", ["gradient", "noise"])
+def test_pack_rows_matches_python(kind, test_image):
+    data = encoder.encode(
+        test_image(40, 64, kind), sampling="422", quality=90, restart_interval_mcus=1
+    )
+    img = scan_of(data)
+    expected = img.total_restart_intervals
+    segs = S.split_intervals(img.scan_data, expected)
+    w = S._words_per_segment(max(len(s) for s in segs))
+    g = -(-expected // S.SEGMENTS_PER_BLOCK)
+    rows, active = native.pack_rows(img.scan_data, expected, w, g)
+    assert rows.shape == (g * 1024, w)
+    for i, seg in enumerate(segs):
+        assert np.array_equal(rows[i], S.pack_words(seg, w)), i
+    assert rows[len(segs):].sum() == 0
+    py = S.to_device_layout(segs, w)
+    assert np.array_equal(active, py.active)
+    # Row layout transposes into the block layout exactly.
+    blocks = rows.reshape(g, 8, 128, w).transpose(0, 3, 1, 2)
+    assert np.array_equal(blocks, py.words)
