@@ -126,7 +126,7 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int):
                 done = state[0]
                 return jnp.any(done == 0)
 
-            def body(state):
+            def step(state):
                 done, pos, hi, lo, nbits, widx = state
                 mask = done == 0
                 value, s, v, hi, lo, nbits, widx = decode_symbol(
@@ -140,15 +140,27 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int):
                 newpos = jnp.where(
                     is_zrl, pos + 16, jnp.where(normal, pos + rrrr + 1, pos)
                 )
-                write = normal & (newpos <= 63)
-                wmask = (iota_z == newpos[None]) & write[None]
+                # Lanes with nothing to write target row 64 (out of range),
+                # so the write predicate folds into the row compare.
+                wrow = jnp.where(normal & (newpos <= 63), newpos, 64)
                 pltpu.store(
                     coeff_s.at[slot],
                     jnp.broadcast_to(coeff[None], (64, SUBLANES, LANES)),
-                    mask=wmask,
+                    mask=iota_z == wrow[None],
                 )
-                done = done | (is_eob | (mask & (newpos >= 63))).astype(I32)
+                # Invalid symbols (s == 0 but neither EOB nor ZRL) would
+                # leave the position unchanged forever on a corrupt stream;
+                # terminate such lanes like an EOB.
+                invalid = mask & (s == 0) & jnp.logical_not(is_eob | is_zrl)
+                done = done | (
+                    is_eob | invalid | (mask & (newpos >= 63))
+                ).astype(I32)
                 return done, newpos, hi, lo, nbits, widx
+
+            def body(state):
+                # Several symbols per trip amortize the cross-lane exit-check
+                # reduction; tails cost a few wasted masked passes.
+                return step(step(step(step(state))))
 
             done0 = jnp.logical_not(act).astype(I32)
             state = jax.lax.while_loop(
