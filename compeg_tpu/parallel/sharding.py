@@ -185,6 +185,40 @@ def decode_batch_sharded(
         )
         wf = w_l.reshape((flat_blocks,) + w_l.shape[3:])
         sf = s_l.reshape((flat_blocks,) + s_l.shape[3:])
+
+        if not fancy_upsample:
+            # Production path: the fused single-kernel decode per shard.
+            from ..ops import fused as F
+            from ..ops.luts import idct_matrix_zigzag
+
+            qzb = jnp.broadcast_to(
+                qz.astype(jnp.float32)[:, :, None, None],
+                qz.shape + (S.SUBLANES, S.LANES),
+            )
+            L = jnp.asarray(idct_matrix_zigzag(retained))
+            blocks = F.fused_decode_blocks(
+                wf, sf, qzb, L, plan_l, geom.samplings, retained, interpret
+            )
+            mh = blocks.shape[2]
+            mwz = blocks.shape[3]
+            blocks = blocks.reshape((B_l, NB_l, G_b) + blocks.shape[1:])
+
+            def band_img(blk):
+                # [G_b, RI, mh, mw, 8, 128] -> [band_h, band_w] u32
+                Gb, RI = blk.shape[0], blk.shape[1]
+                x = blk.transpose(0, 4, 5, 1, 2, 3).reshape(
+                    Gb * S.SUBLANES * S.LANES * RI, mh, mwz
+                )
+                x = x[: band_rows * wm].reshape(band_rows, wm, mh, mwz)
+                return x.transpose(0, 2, 1, 3).reshape(band_rows * mh, wm * mwz)
+
+            imgs = jax.vmap(jax.vmap(band_img))(blocks)  # [B_l, NB_l, bh, bw]
+            # Unpack RGBA u32 -> [.., 3] u8 to match the staged path's output.
+            r = (imgs & 0xFF).astype(jnp.uint8)
+            g = ((imgs >> 8) & 0xFF).astype(jnp.uint8)
+            b = ((imgs >> 16) & 0xFF).astype(jnp.uint8)
+            return jnp.stack([r, g, b], axis=-1)
+
         coeffs = E.entropy_decode(wf, sf, plan_l, interpret=interpret)
         pix = D.idct_pixels(coeffs, qz, retained)
         # [flat, RI, DUS, 64, 8, 128] -> per (frame, band) assembly.
