@@ -53,6 +53,10 @@ class ImageData:
     htables: Dict[Tuple[int, int], CanonicalTable]
     restart_interval: int  # in MCUs; == total MCUs when no DRI was present
     scan_data: bytes
+    # Zero-copy handle on the entropy-coded span within the source buffer
+    # (the native pack reads straight from `source` at `scan_offset`).
+    source: Optional[bytes] = None
+    scan_offset: int = 0
 
     # Derived geometry:
     max_h: int = 0
@@ -208,6 +212,8 @@ def _finish_analysis(raw: dict, data: bytes) -> ImageData:
         htables=raw["htables"],
         restart_interval=0,
         scan_data=data[raw["scan_offset"] : raw["scan_offset"] + raw["scan_len"]],
+        source=bytes(data),
+        scan_offset=raw["scan_offset"],
     )
     ri = raw["ri"]
     img.max_h = max(c.h_sample for c in comps)

@@ -76,6 +76,8 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p,
         ctypes.c_int64,
         ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
         ctypes.c_int32,
         ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint32),
@@ -197,13 +199,18 @@ def pack_rows(
     words_per_segment: int,
     num_blocks: int,
     n_threads: int = 0,
+    offset: int = 0,
+    length: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Destuff + split + pack into contiguous per-segment rows
     ``[G*1024, W]`` (the device transposes into its block layout) and the
-    ``[G, 8, 128]`` active mask."""
+    ``[G, 8, 128]`` active mask. ``scan`` may be the whole file with
+    ``offset``/``length`` selecting the entropy-coded span (no slice copy)."""
     lib = load()
     assert lib is not None
     G, W = num_blocks, words_per_segment
+    if length is None:
+        length = len(scan) - offset
     words = np.empty((G * 1024, W), dtype=np.uint32)
     active = np.empty((G, 8, 128), dtype=np.int32)
     if n_threads <= 0:
@@ -211,6 +218,8 @@ def pack_rows(
     rc = lib.compeg_pack_rows(
         scan,
         len(scan),
+        offset,
+        length,
         expected,
         W,
         G,

@@ -199,10 +199,11 @@ int64_t pack_segment_row(const uint8_t* scan, SegSpan span, uint32_t* row,
 //   words:  buffer of G*1024*W u32 (caller allocates; zero-filled here)
 //   active: buffer of G*1024 i32
 // Returns 0, or -2 segment overflow, -3 interval count mismatch.
-int compeg_pack_rows(const uint8_t* scan, int64_t len, int64_t expected,
-                     int32_t W, int32_t G, uint32_t* words, int32_t* active,
-                     int32_t n_threads) {
-  if (len <= 0) return -1;
+int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
+                     int64_t len, int64_t expected, int32_t W, int32_t G,
+                     uint32_t* words, int32_t* active, int32_t n_threads) {
+  if (len <= 0 || offset < 0 || offset + len > data_len) return -1;
+  const uint8_t* scan = data + offset;
   std::vector<SegSpan> spans;
   spans.reserve(static_cast<size_t>(expected));
   int64_t start = 0;

@@ -205,10 +205,15 @@ class Decoder:
             w = self._cached_width
             words = active = None
             with stage_timer("preprocess"):
+                src, off, ln = (
+                    (img.source, img.scan_offset, len(img.scan_data))
+                    if img.source is not None
+                    else (img.scan_data, 0, len(img.scan_data))
+                )
                 if w is not None:
                     try:
                         words, active = native.pack_rows(
-                            img.scan_data, expected, w, g
+                            src, expected, w, g, offset=off, length=ln
                         )
                     except CompegError:
                         words = None  # overflow or count change: re-measure
@@ -220,7 +225,9 @@ class Decoder:
                         )
                     w = self._bucket_width(S._words_per_segment(mx))
                     self._cached_width = w
-                    words, active = native.pack_rows(img.scan_data, expected, w, g)
+                    words, active = native.pack_rows(
+                        src, expected, w, g, offset=off, length=ln
+                    )
             dscan = S.DeviceScan(words, active, expected, w)
         else:
             # Pure-Python fallback path (converted to contiguous rows).

@@ -1,0 +1,60 @@
+"""MJPEG stream splitting + end-to-end MJPEG (no-DHT) stream decode."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from compeg_tpu import encoder, golden, mjpeg
+from compeg_tpu.batch import StreamDecoder
+
+
+def make_stream(test_image, n=4):
+    frames = [
+        encoder.encode(
+            test_image(16, 32, "noise", seed=s),
+            sampling="422",
+            emit_dht=False,  # MJPEG-style: relies on Annex K defaults
+            restart_interval_mcus=1,
+        )
+        for s in range(n)
+    ]
+    return frames, mjpeg.concat_frames(frames)
+
+
+def test_split_roundtrip(test_image):
+    frames, stream = make_stream(test_image)
+    got = list(mjpeg.split_frames(stream))
+    assert got == frames
+
+
+def test_split_with_junk_between_frames(test_image):
+    frames, _ = make_stream(test_image, n=2)
+    stream = b"junk" + frames[0] + b"\x00\x01pad" + frames[1] + b"tail"
+    got = list(mjpeg.split_frames(stream))
+    assert got == frames
+
+
+def test_frames_from_file(test_image):
+    frames, stream = make_stream(test_image, n=5)
+    with tempfile.NamedTemporaryFile(suffix=".mjpeg", delete=False) as f:
+        f.write(stream)
+        path = f.name
+    try:
+        got = list(mjpeg.frames_from_file(path, chunk_size=700))
+        assert got == frames
+    finally:
+        os.unlink(path)
+
+
+def test_mjpeg_stream_decode(test_image):
+    """The reference's headline use case: a DHT-less MJPEG stream decoded
+    frame by frame with table defaults, one compile for the whole stream."""
+    frames, stream = make_stream(test_image, n=3)
+    dec = StreamDecoder(interpret=True)
+    outs = list(dec.decode_iter_rgb(mjpeg.split_frames(stream)))
+    assert len(outs) == 3
+    for f, o in zip(frames, outs):
+        want = golden.decode_rgb(f)
+        assert np.abs(o.astype(int) - want.astype(int)).max() <= 1
