@@ -181,7 +181,8 @@ class Decoder:
         # operator), keyed by the quantizer bytes.
         self._const_cache: Dict[bytes, Tuple[jax.Array, jax.Array]] = {}
         # Bucket scan width to cut recompiles across slightly-varying frames.
-        self._width_buckets = (6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
+        self._width_buckets = (4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16,
+                               20, 24, 32, 48, 64, 96, 128)
         # Steady-state width cache: frames of a stream reuse the last bucket
         # and only re-measure when a segment overflows it (the same trick as
         # the reference's grow-only buffers, src/dynamic.rs:38-61).
