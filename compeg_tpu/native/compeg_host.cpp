@@ -12,10 +12,92 @@
 // Build: `make` in this directory (or the ctypes loader builds it lazily).
 
 #include <algorithm>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <functional>
+#include <mutex>
 #include <thread>
 #include <vector>
+
+namespace {
+
+// Persistent worker pool: spawning std::threads per call costs ~0.5 ms on
+// this VM, dwarfing the work itself for per-frame packing.
+class Pool {
+ public:
+  static Pool& instance() {
+    // Intentionally leaked; workers are detached so they never block
+    // process exit and no destructor races them.
+    static Pool* p = new Pool(4);
+    return *p;
+  }
+
+  // Run f(0..n-1) across the workers; blocks until all complete.
+  void run(int n, const std::function<void(int)>& f) {
+    if (n <= 1) {
+      f(0);
+      return;
+    }
+    std::unique_lock<std::mutex> lk(m_);
+    task_ = &f;
+    ntask_ = n;
+    next_ = 0;
+    pending_ = n;
+    gen_++;
+    cv_.notify_all();
+    done_cv_.wait(lk, [&] { return pending_ == 0; });
+    task_ = nullptr;
+  }
+
+  int size() const { return static_cast<int>(ws_.size()); }
+
+ private:
+  explicit Pool(int nworkers) {
+    for (int i = 0; i < nworkers; i++) {
+      ws_.emplace_back([this] { worker(); });
+      ws_.back().detach();
+    }
+  }
+
+  void worker() {
+    uint64_t seen = 0;
+    for (;;) {
+      const std::function<void(int)>* f;
+      int idx;
+      {
+        std::unique_lock<std::mutex> lk(m_);
+        cv_.wait(lk, [&] { return gen_ != seen && task_ != nullptr; });
+        seen = gen_;
+        f = task_;
+      }
+      for (;;) {
+        {
+          std::lock_guard<std::mutex> lk(m_);
+          // Claim work only from the generation this worker signed up for —
+          // a stale worker must not pick up a newer run's tasks with its
+          // old function pointer.
+          if (gen_ != seen || next_ >= ntask_) break;
+          idx = next_++;
+        }
+        (*f)(idx);
+        {
+          std::lock_guard<std::mutex> lk(m_);
+          if (--pending_ == 0) done_cv_.notify_all();
+        }
+      }
+    }
+  }
+
+  std::vector<std::thread> ws_;
+  std::mutex m_;
+  std::condition_variable cv_, done_cv_;
+  const std::function<void(int)>* task_ = nullptr;
+  int ntask_ = 0, next_ = 0, pending_ = 0;
+  uint64_t gen_ = 0;
+};
+
+}  // namespace
 
 extern "C" {
 
@@ -204,24 +286,36 @@ int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
                      uint32_t* words, int32_t* active, int32_t n_threads) {
   if (len <= 0 || offset < 0 || offset + len > data_len) return -1;
   const uint8_t* scan = data + offset;
+
+  // Phase A (parallel): find RST marker positions. Detection is
+  // context-free — the second byte of a stuffed/RST pair is never 0xFF, so
+  // "scan[i]==FF && scan[i+1] in D0..D7" is exact regardless of chunking.
+  int nt = n_threads > 0 ? n_threads : 1;
+  std::vector<std::vector<int64_t>> marks(nt);
+  auto find_markers = [&](int t) {
+    int64_t lo = len * t / nt, hi = len * (t + 1) / nt;
+    auto& out = marks[t];
+    out.reserve(static_cast<size_t>(expected) / nt + 8);
+    int64_t i = lo;
+    while (i < hi) {
+      const void* p = std::memchr(scan + i, 0xFF, static_cast<size_t>(hi - i));
+      if (p == nullptr) break;
+      i = static_cast<const uint8_t*>(p) - scan;
+      if (i + 1 >= len) break;
+      uint8_t nxt = scan[i + 1];
+      if (nxt >= 0xD0 && nxt <= 0xD7) out.push_back(i);
+      i++;
+    }
+  };
+  Pool::instance().run(nt, find_markers);
+
   std::vector<SegSpan> spans;
   spans.reserve(static_cast<size_t>(expected));
   int64_t start = 0;
-  int64_t i = 0;
-  while (i < len) {
-    const void* p = std::memchr(scan + i, 0xFF, static_cast<size_t>(len - i));
-    if (p == nullptr) break;
-    i = static_cast<const uint8_t*>(p) - scan;
-    if (i + 1 >= len) break;
-    uint8_t nxt = scan[i + 1];
-    if (nxt == 0x00) {
-      i += 2;
-    } else if (nxt >= 0xD0 && nxt <= 0xD7) {
-      spans.push_back({start, i});
-      i += 2;
-      start = i;
-    } else {
-      i++;
+  for (int t = 0; t < nt; t++) {
+    for (int64_t m : marks[t]) {
+      spans.push_back({start, m});
+      start = m + 2;
     }
   }
   spans.push_back({start, len});
@@ -233,8 +327,6 @@ int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
   std::memset(active, 0, sizeof(int32_t) * total);
 
   int rc = 0;
-  int nt = n_threads > 0 ? n_threads : 1;
-  std::vector<std::thread> ts;
   std::vector<int> rcs(nt, 0);
   int64_t chunk = (nseg + nt - 1) / nt;
   auto work = [&](int t) {
@@ -249,14 +341,9 @@ int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
       active[s] = 1;
     }
   };
-  if (nt > 1) {
-    for (int t = 0; t < nt; t++) ts.emplace_back(work, t);
-    for (auto& th : ts) th.join();
-    for (int r : rcs)
-      if (r) rc = r;
-  } else {
-    work(0);
-  }
+  Pool::instance().run(nt, work);
+  for (int r : rcs)
+    if (r) rc = r;
   // Zero padding rows.
   if (nseg < total)
     std::memset(words + nseg * W, 0, sizeof(uint32_t) * (total - nseg) * W);

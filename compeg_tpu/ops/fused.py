@@ -62,7 +62,8 @@ def _slot_layout(samplings):
     return out
 
 
-def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int):
+def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
+                       unroll: int = 4):
     W = plan.words_per_segment
     dus = plan.dus_per_mcu
     mh, mw = _mcu_shape(samplings)
@@ -160,7 +161,9 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int):
             def body(state):
                 # Several symbols per trip amortize the cross-lane exit-check
                 # reduction; tails cost a few wasted masked passes.
-                return step(step(step(step(state))))
+                for _ in range(unroll):
+                    state = step(state)
+                return state
 
             done0 = jnp.logical_not(act).astype(I32)
             state = jax.lax.while_loop(
@@ -235,7 +238,10 @@ def fused_decode_blocks(
     W = plan.words_per_segment
     dus = plan.dus_per_mcu
     mh, mw = _mcu_shape(samplings)
-    kernel = _make_fused_kernel(plan, samplings, retained)
+    # Interpret mode (tests) pays per-op tracing/execution costs; the unroll
+    # only helps compiled TPU execution.
+    kernel = _make_fused_kernel(plan, samplings, retained,
+                                unroll=1 if interpret else 4)
     return pl.pallas_call(
         kernel,
         grid=(G, plan.ri),

@@ -180,6 +180,9 @@ class Decoder:
         # Device-resident per-stream constants (quantizer broadcast + IDCT
         # operator), keyed by the quantizer bytes.
         self._const_cache: Dict[bytes, Tuple[jax.Array, jax.Array]] = {}
+        # Device-resident seg_mcus (a pure function of stream geometry —
+        # constant across frames, so upload it once).
+        self._segmcus_cache: Dict[Tuple[int, int, int], jax.Array] = {}
         # Bucket scan width to cut recompiles across slightly-varying frames.
         self._width_buckets = (4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16,
                                20, 24, 32, 48, 64, 96, 128)
@@ -241,11 +244,16 @@ class Decoder:
             dscan = S.DeviceScan(rows, blk.active, blk.num_segments,
                                  blk.words_per_segment)
         plan = E.plan_from_image(img, dscan)
+        key = (img.restart_interval, img.total_mcus, dscan.num_blocks)
+        seg_mcus = self._segmcus_cache.get(key)
+        if seg_mcus is None:
+            seg_mcus = jax.device_put(
+                seg_mcu_counts(dscan.active, img.restart_interval, img.total_mcus)
+            )
+            self._segmcus_cache[key] = seg_mcus
         return PreparedFrame(
             words=np.asarray(dscan.words, dtype=np.uint32),
-            seg_mcus=seg_mcu_counts(
-                dscan.active, img.restart_interval, img.total_mcus
-            ),
+            seg_mcus=seg_mcus,
             qz_by_slot=D.qz_by_slot_array(img),
             plan=plan,
             geom=FrameGeometry.from_image(img),
