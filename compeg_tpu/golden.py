@@ -136,15 +136,33 @@ def decode_coefficients(img: ImageData, dequant: bool = True) -> np.ndarray:
 
 
 def idct_pixels(coeffs: np.ndarray, retained_coefficients: int = 64) -> np.ndarray:
-    """``[N, 64]`` zigzag coefficients -> ``[N, 64]`` u8 raster pixels.
+    """``[N, 64]`` *dequantized* zigzag coefficients -> u8 raster pixels.
 
     float32 matrix IDCT, +128.5 shift, clamp to [0, 255], truncate — the
     semantics of the reference's AAN chain (src/dct.wgsl:144,174-181) in
-    matrix form.
+    matrix form. (The device path uses :func:`idct_pixels_raw`.)
     """
     L = idct_matrix_zigzag(retained_coefficients)  # [64p, 64z] f32
     pix = coeffs.astype(np.float32) @ L.T + np.float32(128.5)
     return np.clip(pix, 0.0, 255.0).astype(np.uint8)
+
+
+def idct_pixels_raw(
+    coeffs_raw: np.ndarray, img: ImageData, retained_coefficients: int = 64
+) -> np.ndarray:
+    """``[N, 64]`` raw (quantized) coefficients -> u8 pixels via the fused
+    per-slot dequant+IDCT operators — the exact arithmetic of the device
+    kernel (same f32 Lq constants from ops/luts.idct_dequant_matrices)."""
+    from .ops.idct import qz_by_slot_array
+    from .ops.luts import idct_dequant_matrices
+
+    Lq = idct_dequant_matrices(qz_by_slot_array(img), retained_coefficients)
+    dus = img.dus_per_mcu
+    n = coeffs_raw.shape[0]
+    x = coeffs_raw.reshape(n // dus, dus, 64).astype(np.float32)
+    # pixels[m, d, p] = Lq[d] @ x[m, d]
+    pix = np.einsum("dpz,mdz->mdp", Lq, x) + np.float32(128.5)
+    return np.clip(pix, 0.0, 255.0).astype(np.uint8).reshape(n, 64)
 
 
 def assemble_planes(
@@ -196,8 +214,8 @@ def decode_rgb(
     from .metadata import analyze
 
     img = data_or_img if isinstance(data_or_img, ImageData) else analyze(data_or_img)
-    coeffs = decode_coefficients(img)
-    pixels = idct_pixels(coeffs, retained_coefficients)
+    coeffs = decode_coefficients(img, dequant=False)
+    pixels = idct_pixels_raw(coeffs, img, retained_coefficients)
     planes = assemble_planes(img, pixels)
     if len(planes) == 1:
         yp = planes[0][: img.height, : img.width]

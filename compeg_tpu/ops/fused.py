@@ -69,7 +69,7 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
     mh, mw = _mcu_shape(samplings)
     layout = _slot_layout(samplings)
 
-    def kernel(words_ref, segmcus_ref, qz_ref, l_ref, out_ref, coeff_s, pix_s,
+    def kernel(words_ref, segmcus_ref, l_ref, out_ref, coeff_s,
                hi_s, lo_s, nb_s, wi_s, dp_s):
         m = pl.program_id(1)
 
@@ -175,20 +175,25 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
         hi_s[:], lo_s[:] = hi, lo
         nb_s[:], wi_s[:] = nbits, widx
 
-        # ---- phase 2: dequant + IDCT per DU slot -------------------------
-        L = l_ref[:]
+        # ---- phase 2: fused dequant+IDCT per DU slot ---------------------
+        # l_ref holds per-slot [64, 64] operators with the quantizer folded
+        # into the matrix (ops/luts.idct_dequant_matrices).
         for slot in range(dus):
-            xf = coeff_s[slot].astype(F32) * qz_ref[slot]
+            xf = coeff_s[slot].astype(F32)
+            Lq = l_ref[slot]
             for s in range(SUBLANES):
                 # HIGHEST keeps the MXU's f32 path (multi-pass bf16) so the
                 # pixel output stays within +-1 of the f32 golden decoder.
                 p = jnp.dot(
-                    L, xf[:, s, :],
+                    Lq, xf[:, s, :],
                     preferred_element_type=F32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
                 p = jnp.clip(p + F32(128.5), 0.0, 255.0)
-                pix_s[slot, :, s, :] = p.astype(I32)
+                # In-place: pixels overwrite the coefficient scratch (the
+                # reference reuses its coefficients buffer the same way,
+                # src/dct.wgsl:186-201); xf was materialized above.
+                coeff_s[slot, :, s, :] = p.astype(I32)
 
         # ---- phase 3: composite MCU -> packed RGBA -----------------------
         gray = len(samplings) == 1
@@ -198,15 +203,15 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
                 # luma slot + in-DU position (sampling-relative coordinates)
                 yslot = ys0 + (r * yv // mh) * yh + (x * yh // mw)
                 yp = (r * yv * 8 // mh % 8) * 8 + (x * yh * 8 // mw % 8)
-                y = pix_s[yslot, yp]
+                y = coeff_s[yslot, yp]
                 if gray:
                     rr = gg = bb = y
                 else:
                     cs0, ch, cv = layout[1]
                     cslot = cs0  # chroma is 1x1 in every supported sampling
                     cp = (r * cv * 8 // mh) * 8 + (x * ch * 8 // mw)
-                    cb = pix_s[cslot, cp] - 128
-                    cr = pix_s[layout[2][0], cp] - 128
+                    cb = coeff_s[cslot, cp] - 128
+                    cr = coeff_s[layout[2][0], cp] - 128
                     rr = y + ((45 * cr) >> 5)
                     gg = y - ((11 * cb + 23 * cr) >> 5)
                     bb = y + ((113 * cb) >> 6)
@@ -225,8 +230,7 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
 def fused_decode_blocks(
     words: jax.Array,  # [G, W, 8, 128] uint32
     seg_mcus: jax.Array,  # [G, 8, 128] int32
-    qz_f32: jax.Array,  # [DUS, 64, 8, 128] broadcast f32 quantizers
-    idct_l: jax.Array,  # [64, 64] f32 IDCT operator (retained folded in)
+    idct_l: jax.Array,  # [DUS, 64, 64] f32 dequant+IDCT operators per slot
     plan: EntropyPlan,
     samplings: Tuple[Tuple[int, int], ...],
     retained: int = 64,
@@ -255,7 +259,6 @@ def fused_decode_blocks(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, mh, mw, SUBLANES, LANES),
@@ -265,7 +268,6 @@ def fused_decode_blocks(
         out_shape=jax.ShapeDtypeStruct((G, plan.ri, mh, mw, SUBLANES, LANES), U32),
         scratch_shapes=[
             pltpu.VMEM((dus, 64, SUBLANES, LANES), I32),
-            pltpu.VMEM((dus, 64, SUBLANES, LANES), I32),
             pltpu.VMEM((SUBLANES, LANES), U32),
             pltpu.VMEM((SUBLANES, LANES), U32),
             pltpu.VMEM((SUBLANES, LANES), I32),
@@ -274,9 +276,10 @@ def fused_decode_blocks(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(words, seg_mcus, qz_f32, idct_l)
+    )(words, seg_mcus, idct_l)
 
 
 @functools.partial(jax.jit, static_argnames=("geom",))

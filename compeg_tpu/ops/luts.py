@@ -25,6 +25,18 @@ def dct_basis() -> np.ndarray:
     return 0.5 * c * np.cos((2 * n + 1) * k * np.pi / 16.0)
 
 
+def idct_dequant_matrices(
+    qz_by_slot: np.ndarray, retained_coefficients: int = 64
+) -> np.ndarray:
+    """Per-DU-slot fused dequant+IDCT operators: ``[DUS, 64, 64]`` f32 with
+    ``pixels = Lq[slot] @ coeff_raw_zigzag``. Folding the quantizer into the
+    matrix (libjpeg does the same with its multiplier tables) removes the
+    dequant multiply and its table from the kernel."""
+    L = idct_matrix_zigzag(retained_coefficients).astype(np.float64)
+    q = np.asarray(qz_by_slot, dtype=np.float64)  # [DUS, 64]
+    return (L[None, :, :] * q[:, None, :]).astype(np.float32)
+
+
 def idct_matrix_zigzag(retained_coefficients: int = 64) -> np.ndarray:
     """``L`` with ``pixels_flat = L @ coeff_zigzag``: [64 raster, 64 zigzag].
 

@@ -170,7 +170,11 @@ def decode_batch_sharded(
     wm = geom.width_mcus
     img_w = wm * 8 * max(s[0] for s in geom.samplings)
 
-    def shard_fn(w_l, s_l, qz):
+    from ..ops.luts import idct_dequant_matrices
+
+    lq_host = idct_dequant_matrices(np.asarray(qz_by_slot), retained)
+
+    def shard_fn(w_l, s_l, qz, lq):
         # w_l: [B_l, NB_l, G_b, W, 8, 128]
         B_l, NB_l = w_l.shape[0], w_l.shape[1]
         flat_blocks = B_l * NB_l * G_b
@@ -189,15 +193,9 @@ def decode_batch_sharded(
         if not fancy_upsample:
             # Production path: the fused single-kernel decode per shard.
             from ..ops import fused as F
-            from ..ops.luts import idct_matrix_zigzag
 
-            qzb = jnp.broadcast_to(
-                qz.astype(jnp.float32)[:, :, None, None],
-                qz.shape + (S.SUBLANES, S.LANES),
-            )
-            L = jnp.asarray(idct_matrix_zigzag(retained))
             blocks = F.fused_decode_blocks(
-                wf, sf, qzb, L, plan_l, geom.samplings, retained, interpret
+                wf, sf, lq, plan_l, geom.samplings, retained, interpret
             )
             mh = blocks.shape[2]
             mwz = blocks.shape[3]
@@ -243,10 +241,10 @@ def decode_batch_sharded(
     out = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(spec_in, spec_in, P()),
+        in_specs=(spec_in, spec_in, P(), P()),
         out_specs=P("data", "seq"),
         check_vma=False,
-    )(words, seg_mcus, qz_by_slot)
+    )(words, seg_mcus, qz_by_slot, jnp.asarray(lq_host))
     # [B, NB, band_h, W, 3] -> [B, NB*band_h, W, 3] -> crop.
     out = out.reshape(B, NB * band_h, img_w, 3)
     return out[:, : geom.height, : geom.width]

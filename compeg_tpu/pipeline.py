@@ -107,10 +107,9 @@ def _as_blocks(words: jax.Array) -> jax.Array:
     jax.jit, static_argnames=("plan", "geom", "retained", "interpret")
 )
 def decode_frame_fused(
-    words: jax.Array,  # [G, W, 8, 128] uint32
+    words: jax.Array,  # [G, W, 8, 128] uint32 (or [G*1024, W] rows)
     seg_mcus: jax.Array,  # [G, 8, 128] int32
-    qz_bcast: jax.Array,  # [DUS, 64, 8, 128] f32
-    idct_l: jax.Array,  # [64, 64] f32
+    idct_l: jax.Array,  # [DUS, 64, 64] f32 dequant+IDCT operators
     plan: E.EntropyPlan,
     geom: FrameGeometry,
     retained: int = 64,
@@ -120,7 +119,7 @@ def decode_frame_fused(
     from .ops import fused as F
 
     blocks = F.fused_decode_blocks(
-        _as_blocks(words), seg_mcus, qz_bcast, idct_l, plan, geom.samplings,
+        _as_blocks(words), seg_mcus, idct_l, plan, geom.samplings,
         retained, interpret,
     )
     return F.assemble_image(blocks, geom)
@@ -179,7 +178,7 @@ class Decoder:
         self.fused = fused
         # Device-resident per-stream constants (quantizer broadcast + IDCT
         # operator), keyed by the quantizer bytes.
-        self._const_cache: Dict[bytes, Tuple[jax.Array, jax.Array]] = {}
+        self._const_cache: Dict[bytes, jax.Array] = {}
         # Device-resident seg_mcus (a pure function of stream geometry —
         # constant across frames, so upload it once).
         self._segmcus_cache: Dict[Tuple[int, int, int], jax.Array] = {}
@@ -260,19 +259,14 @@ class Decoder:
             image=img,
         )
 
-    def _stream_consts(self, pf: PreparedFrame) -> Tuple[jax.Array, jax.Array]:
+    def _stream_consts(self, pf: PreparedFrame) -> jax.Array:
         key = pf.qz_by_slot.tobytes() + bytes([self.retained])
         hit = self._const_cache.get(key)
         if hit is None:
-            from .ops.luts import idct_matrix_zigzag
+            from .ops.luts import idct_dequant_matrices
 
-            qz_bcast = np.broadcast_to(
-                pf.qz_by_slot.astype(np.float32)[:, :, None, None],
-                pf.qz_by_slot.shape + (S.SUBLANES, S.LANES),
-            )
-            hit = (
-                jax.device_put(np.ascontiguousarray(qz_bcast)),
-                jax.device_put(idct_matrix_zigzag(self.retained)),
+            hit = jax.device_put(
+                idct_dequant_matrices(pf.qz_by_slot, self.retained)
             )
             self._const_cache[key] = hit
         return hit
@@ -281,11 +275,10 @@ class Decoder:
         """Async decode. Fused path returns packed RGBA [H, W] u32; staged
         path returns [H, W, 3] u8."""
         if self.fused:
-            qz_bcast, idct_l = self._stream_consts(pf)
+            idct_l = self._stream_consts(pf)
             return decode_frame_fused(
                 pf.words,
                 pf.seg_mcus,
-                qz_bcast,
                 idct_l,
                 pf.plan,
                 pf.geom,
