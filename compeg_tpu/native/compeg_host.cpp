@@ -34,11 +34,14 @@ class Pool {
   }
 
   // Run f(0..n-1) across the workers; blocks until all complete.
+  // Serialized: callers from multiple host threads queue here (the decoder
+  // pipelines frame preparation across Python worker threads).
   void run(int n, const std::function<void(int)>& f) {
     if (n <= 1) {
       f(0);
       return;
     }
+    std::lock_guard<std::mutex> outer(run_m_);
     std::unique_lock<std::mutex> lk(m_);
     task_ = &f;
     ntask_ = n;
@@ -90,6 +93,7 @@ class Pool {
   }
 
   std::vector<std::thread> ws_;
+  std::mutex run_m_;
   std::mutex m_;
   std::condition_variable cv_, done_cv_;
   const std::function<void(int)>* task_ = nullptr;
