@@ -325,7 +325,7 @@ int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
   spans.push_back({start, len});
   if (static_cast<int64_t>(spans.size()) != expected) return -3;
 
-  const int64_t max_bytes = static_cast<int64_t>(W) * 4 - 8;
+  const int64_t max_bytes = static_cast<int64_t>(W) * 4;
   const int64_t nseg = spans.size();
   const int64_t total = static_cast<int64_t>(G) * kSegsPerBlock;
   std::memset(active, 0, sizeof(int32_t) * total);
@@ -386,7 +386,7 @@ int compeg_pack(const uint8_t* scan, int64_t len, int64_t expected, int32_t W,
   spans.push_back({start, len});
   if (static_cast<int64_t>(spans.size()) != expected) return -3;
 
-  const int64_t max_bytes = static_cast<int64_t>(W) * 4 - 8;  // guard words
+  const int64_t max_bytes = static_cast<int64_t>(W) * 4;
   const int64_t nseg = spans.size();
 
   std::memset(words, 0,

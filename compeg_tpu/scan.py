@@ -31,9 +31,10 @@ LANES = 128
 SUBLANES = 8
 SEGMENTS_PER_BLOCK = SUBLANES * LANES
 
-# Guard words appended past each segment's payload: the bit window may fetch
-# up to 2 words beyond the last consumed bit.
-GUARD_WORDS = 2
+# No guard words are needed past a segment's payload: the kernel's refill
+# clamps its word index to the row end, so lookahead past the final byte
+# re-reads the last word — bits a valid stream never consumes.
+GUARD_WORDS = 0
 
 
 def split_intervals(scan: bytes, expected: int) -> List[bytes]:

@@ -81,10 +81,10 @@ def test_forced_width():
     d = S.to_device_layout(segs, words_per_segment=10)
     assert d.words_per_segment == 10
     with pytest.raises(CompegError):
-        S.to_device_layout(segs, words_per_segment=2)
+        S.to_device_layout(segs, words_per_segment=1)
 
 
-def test_guard_words_present():
+def test_exact_width_no_guard():
     segs = [b"\x01" * 8]  # exactly 2 words of payload
     d = S.to_device_layout(segs)
-    assert d.words_per_segment >= 2 + S.GUARD_WORDS
+    assert d.words_per_segment == 2  # no guard words (refill clamps)
