@@ -306,6 +306,20 @@ class Decoder:
         """Decode one JPEG to an [H, W, 3] u8 RGB numpy array."""
         return self._to_rgb(self.decode_prepared(self.prepare(data)))
 
+    def start_decode(self, data) -> "DecodeOp":
+        """Asynchronous decode: parse + preprocess on the host, dispatch to
+        the device, return immediately (the reference's ``start_decode``
+        pattern, src/lib.rs:483-499)."""
+        pf = self.prepare(data)
+        changed = pf.geom != getattr(self, "_last_geom", None)
+        self._last_geom = pf.geom
+        return DecodeOp(
+            result=self.decode_prepared(pf),
+            geometry=pf.geom,
+            geometry_changed=changed,
+            _decoder=self,
+        )
+
     def decode_rgba(self, data) -> np.ndarray:
         """Decode to [H, W, 4] u8 RGBA (alpha=255) — the reference's output
         format (rgba8unorm texture, src/lib.rs:48)."""
@@ -316,6 +330,27 @@ class Decoder:
         from .ops.color import rgb_to_rgba
 
         return np.asarray(rgb_to_rgba(out))
+
+
+@dataclass
+class DecodeOp:
+    """Handle for an in-flight decode — the analogue of the reference's
+    ``DecodeOp`` (src/lib.rs:538-574): the device result is asynchronous,
+    and ``geometry_changed`` tells callers to rebuild downstream resources
+    (the role of ``texture_changed``)."""
+
+    result: jax.Array  # async device array (packed RGBA u32 on fused path)
+    geometry: FrameGeometry
+    geometry_changed: bool
+    _decoder: "Decoder"
+
+    def rgb(self) -> np.ndarray:
+        """Blocking readback to [H, W, 3] u8."""
+        return self._decoder._to_rgb(self.result)
+
+    def block_until_ready(self) -> "DecodeOp":
+        self.result.block_until_ready()
+        return self
 
 
 def decode_rgb(data: bytes, retained_coefficients: int = 64) -> np.ndarray:

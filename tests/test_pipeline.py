@@ -73,3 +73,22 @@ def test_vs_pillow_e2e(test_image):
     theirs = np.asarray(PIL.open(io.BytesIO(data)).convert("RGB"))
     mse = np.mean((ours.astype(float) - theirs.astype(float)) ** 2)
     assert mse < 20.0, mse
+
+
+def test_decode_op_async(test_image):
+    """start_decode returns an async handle; geometry_changed flags frame
+    size changes (the reference's texture_changed contract)."""
+    from compeg_tpu.pipeline import Decoder
+
+    dec = Decoder(interpret=True)
+    a = encoder.encode(test_image(16, 32), sampling="422", restart_interval_mcus=1)
+    b = encoder.encode(test_image(16, 48), sampling="422", restart_interval_mcus=1)
+    op1 = dec.start_decode(a)
+    assert op1.geometry_changed
+    out1 = op1.block_until_ready().rgb()
+    assert out1.shape == (16, 32, 3)
+    op2 = dec.start_decode(a)
+    assert not op2.geometry_changed
+    op3 = dec.start_decode(b)
+    assert op3.geometry_changed
+    assert op3.rgb().shape == (16, 48, 3)
