@@ -18,12 +18,13 @@ Public API (mirroring the reference's surface, src/lib.rs):
 from .errors import CompegError
 from .metadata import ImageData, analyze
 from .huffman import CanonicalTable, build_table, default_tables
-from . import parser, scan, golden, encoder
+from . import parser, scan, golden, encoder, mjpeg
 
 __version__ = "0.1.0"
 
 __all__ = [
     "CompegError",
+    "mjpeg",
     "ImageData",
     "analyze",
     "CanonicalTable",
@@ -43,5 +44,12 @@ def decode_rgb(data: bytes, **kw):
     Lazy import so host-only users never pull in jax.
     """
     from .pipeline import decode_rgb as _decode
+
+    return _decode(data, **kw)
+
+
+def decode_rgba(data: bytes, **kw):
+    """Decode to ``[H, W, 4]`` u8 RGBA (the reference's output format)."""
+    from .pipeline import decode_rgba as _decode
 
     return _decode(data, **kw)

@@ -175,6 +175,7 @@ def finalize_rgb(
     height: int,
     width_mcus: int,
     height_mcus: int,
+    fancy: bool = False,
 ) -> jax.Array:
     """Full finalize: assemble planes, upsample, convert. Returns [H, W, 3] u8.
 
@@ -195,7 +196,14 @@ def finalize_rgb(
         plane = assemble_component_plane(
             x[:, slot : slot + ndu, :], width_mcus, height_mcus, sh, sv
         )
-        plane = upsample_nearest(plane, max_h // sh, max_v // sv)
+        fx, fy = max_h // sh, max_v // sv
+        if not fancy:
+            plane = upsample_nearest(plane, fx, fy)
+        else:
+            if fy > 1:
+                plane = upsample_fancy_v(plane)
+            if fx > 1:
+                plane = upsample_fancy_h(plane)
         planes.append(plane[:height, :width])
         slot += ndu
 

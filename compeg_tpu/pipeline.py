@@ -64,7 +64,7 @@ def seg_mcu_counts(active: np.ndarray, ri: int, total_mcus: int) -> np.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("plan", "geom", "retained", "interpret")
+    jax.jit, static_argnames=("plan", "geom", "retained", "interpret", "fancy")
 )
 def decode_frame_device(
     words: jax.Array,  # [G, W, 8, 128] uint32
@@ -74,6 +74,7 @@ def decode_frame_device(
     geom: FrameGeometry,
     retained: int = 64,
     interpret: bool = False,
+    fancy: bool = False,
 ) -> jax.Array:
     """The full on-device frame decode: scan words -> [H, W, 3] u8."""
     coeffs = E.entropy_decode(_as_blocks(words), seg_mcus, plan, interpret=interpret)
@@ -87,6 +88,7 @@ def decode_frame_device(
         height=geom.height,
         width_mcus=geom.width_mcus,
         height_mcus=geom.height_mcus,
+        fancy=fancy,
     )
 
 
@@ -168,7 +170,14 @@ class Decoder:
         retained_coefficients: int = 64,
         interpret: Optional[bool] = None,
         fused: bool = True,
+        fancy_upsampling: bool = False,
     ):
+        # fancy (triangle-filter) chroma upsampling runs on the staged path;
+        # the fused kernel composites with the reference's nearest-neighbor
+        # semantics.
+        if fancy_upsampling:
+            fused = False
+        self.fancy = fancy_upsampling
         self.retained = retained_coefficients
         self.interpret = (
             E._interpret_default() if interpret is None else interpret
@@ -293,6 +302,7 @@ class Decoder:
             pf.geom,
             self.retained,
             self.interpret,
+            self.fancy,
         )
 
     def _to_rgb(self, out: jax.Array) -> np.ndarray:

@@ -92,3 +92,18 @@ def test_decode_op_async(test_image):
     op3 = dec.start_decode(b)
     assert op3.geometry_changed
     assert op3.rgb().shape == (16, 48, 3)
+
+
+def test_fancy_upsampling_vs_libjpeg(test_image):
+    """Fancy (triangle) chroma upsampling should land closer to libjpeg's
+    default output than nearest-neighbor does."""
+    import io
+    PIL = pytest.importorskip("PIL.Image")
+    from compeg_tpu.pipeline import Decoder
+
+    img = test_image(32, 48, "edges")
+    data = encoder.encode(img, sampling="422", quality=90, restart_interval_mcus=1)
+    theirs = np.asarray(PIL.open(io.BytesIO(data)).convert("RGB")).astype(float)
+    near = Decoder(interpret=True).decode(data).astype(float)
+    fancy = Decoder(interpret=True, fancy_upsampling=True).decode(data).astype(float)
+    assert np.mean((fancy - theirs) ** 2) < np.mean((near - theirs) ** 2)
