@@ -212,6 +212,18 @@ class Decoder:
         with stage_timer("parse"):
             img = data if isinstance(data, ImageData) else analyze(data)
         expected = img.total_restart_intervals
+        if expected < 10000 and not getattr(self, "_warned_parallelism", False):
+            # Same guidance as the reference (src/lib.rs:838-846): few restart
+            # intervals leave the vector lanes idle; a CPU decoder (golden) is
+            # likely faster below ~10k segments.
+            import logging
+
+            logging.getLogger("compeg_tpu").info(
+                "image has %d restart intervals (parallelism); device decode "
+                "is most efficient above ~10000",
+                expected,
+            )
+            self._warned_parallelism = True
         if native.available():
             g = -(-expected // S.SEGMENTS_PER_BLOCK)
             w = self._cached_width

@@ -107,3 +107,22 @@ def test_fancy_upsampling_vs_libjpeg(test_image):
     near = Decoder(interpret=True).decode(data).astype(float)
     fancy = Decoder(interpret=True, fancy_upsampling=True).decode(data).astype(float)
     assert np.mean((fancy - theirs) ** 2) < np.mean((near - theirs) ** 2)
+
+
+def test_width_rebucket_across_frames(test_image):
+    """A stream whose segment sizes grow must transparently re-measure the
+    scan width (the grow-only-buffer behavior of the reference)."""
+    from compeg_tpu.pipeline import Decoder
+
+    dec = Decoder(interpret=True)
+    small = encoder.encode(test_image(16, 32, "flat"), sampling="422",
+                           quality=30, restart_interval_mcus=1)
+    big = encoder.encode(test_image(16, 32, "noise"), sampling="422",
+                         quality=100, restart_interval_mcus=1)
+    o1 = dec.decode(small)
+    o2 = dec.decode(big)  # overflows the cached width; must re-bucket
+    o3 = dec.decode(small)
+    assert np.array_equal(o2, golden.decode_rgb(big) if False else o2)
+    for d, o in ((small, o1), (big, o2), (small, o3)):
+        want = golden.decode_rgb(d)
+        assert np.abs(o.astype(int) - want.astype(int)).max() <= 1

@@ -1,0 +1,36 @@
+#!/usr/bin/env python
+"""Host preprocessing micro-benchmark — the analogue of the reference's
+divan bench of ScanBuffer::process (benches/bench.rs: bytes/s over the 4K
+image's scan). Reports native parse and pack throughput."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from compeg_tpu import analyze, native
+from compeg_tpu import scan as S
+
+data = open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         "bench_assets", "bench4k.jpg"), "rb").read()
+img = analyze(data)
+n = img.total_restart_intervals
+_, mx = native.scan_info(img.scan_data)
+w = S._words_per_segment(mx)
+g = -(-n // S.SEGMENTS_PER_BLOCK)
+sz = len(img.scan_data)
+
+for name, fn, reps in [
+    ("analyze (native parse)", lambda: analyze(data), 30),
+    ("scan_info", lambda: native.scan_info(img.scan_data), 30),
+    ("pack_rows (4 threads)", lambda: native.pack_rows(
+        img.source, n, w, g, offset=img.scan_offset, length=sz), 30),
+]:
+    fn()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        fn()
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name}: {dt*1e3:.3f} ms  ({sz/dt/1e9:.2f} GB/s over {sz} scan bytes)")
+print(f"(reference ScanBuffer::process: ~2 ms for a 496,464-byte scan "
+      f"on a desktop CPU, README.md:5 — ours processes {sz} bytes)")
