@@ -21,15 +21,13 @@ from dataclasses import dataclass
 from typing import Iterable, Iterator, List, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .errors import bail
-from .metadata import ImageData
 from .ops import color as C
 from .ops import entropy as E
 from .ops import idct as D
-from .pipeline import Decoder, FrameGeometry, PreparedFrame, decode_frame_device
+from .pipeline import Decoder, FrameGeometry, PreparedFrame
 
 
 @functools.partial(

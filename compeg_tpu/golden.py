@@ -20,13 +20,11 @@ spec-correct +16.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 
 from .errors import bail
-from .huffman import CanonicalTable
 from .metadata import ImageData
 from .ops.luts import idct_matrix_zigzag
 from .scan import split_intervals

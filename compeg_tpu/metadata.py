@@ -17,7 +17,7 @@ Ss=0/Se=63/Ah=Al=0, component order in scan == frame order, 8-bit qtables.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -25,7 +25,6 @@ import numpy as np
 from . import parser as P
 from .errors import CompegError, bail
 from .huffman import CanonicalTable, build_table, default_tables
-from .tables import ZIGZAG
 
 
 @dataclass(frozen=True)

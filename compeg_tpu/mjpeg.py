@@ -9,7 +9,7 @@ byte stream (concatenated JPEG frames, the format V4L2 MJPG delivers and
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Optional
+from typing import Iterable, Iterator
 
 SOI = b"\xFF\xD8"
 EOI = b"\xFF\xD9"

@@ -13,7 +13,6 @@ math, which XLA fuses well; the exact color constants are preserved:
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -40,10 +40,8 @@ from .entropy import (
     _consume,
     _decode_code,
     _extend,
-    _peek,
     _refill,
 )
-from .luts import idct_matrix_zigzag
 
 F32 = jnp.float32
 

@@ -23,7 +23,6 @@ import time
 from typing import List, Optional, Tuple
 
 import jax
-import numpy as np
 
 from ..errors import bail
 from .sharding import make_mesh

@@ -22,17 +22,16 @@ which is how the multi-chip tests run (SURVEY.md §4 tier d).
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import scan as S
-from ..errors import CompegError, bail
+from ..errors import bail
 from ..metadata import ImageData
 from ..ops import color as C
 from ..ops import entropy as E

@@ -19,7 +19,6 @@ from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from . import scan as S

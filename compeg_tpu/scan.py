@@ -20,7 +20,7 @@ This module is the Python twin of the C++ implementation in
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
