@@ -115,10 +115,10 @@ def test_width_rebucket_across_frames(test_image):
     from compeg_tpu.pipeline import Decoder
 
     dec = Decoder(interpret=True)
-    small = encoder.encode(test_image(16, 32, "flat"), sampling="422",
+    small = encoder.encode(test_image(8, 16, "flat"), sampling="422",
                            quality=30, restart_interval_mcus=1)
-    big = encoder.encode(test_image(16, 32, "noise"), sampling="422",
-                         quality=100, restart_interval_mcus=1)
+    big = encoder.encode(test_image(8, 16, "noise"), sampling="422",
+                         quality=95, restart_interval_mcus=1)
     o1 = dec.decode(small)
     o2 = dec.decode(big)  # overflows the cached width; must re-bucket
     o3 = dec.decode(small)

@@ -37,7 +37,7 @@ def test_devices_available():
     assert len(jax.devices()) >= 8
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 1), (1, 2), (2, 2), (4, 2)])
+@pytest.mark.parametrize("mesh_shape", [(2, 1), (1, 2), (4, 2)])
 def test_sharded_matches_single(mesh_shape, test_image):
     img = test_image(32, 48, "gradient")
     data = encoder.encode(img, sampling="422", quality=85, restart_interval_mcus=1)
