@@ -231,9 +231,40 @@ class SosSegment:
 
 
 @dataclass(frozen=True)
+class Jfif:
+    """Typed view of a JFIF APP0 payload (version, pixel density, thumbnail;
+    reference: src/file.rs:399-497)."""
+
+    major: int
+    minor: int
+    density_unit: int  # 0 none, 1 dpi, 2 dots/cm
+    x_density: int
+    y_density: int
+    thumb_width: int
+    thumb_height: int
+
+
+@dataclass(frozen=True)
 class AppSegment:
     n: int  # APPn index 0-15
     data: bytes
+
+    def jfif(self) -> Optional[Jfif]:
+        """Parse the payload as JFIF when this is a JFIF APP0."""
+        if self.n != 0 or not self.data.startswith(b"JFIF\x00"):
+            return None
+        if len(self.data) < 14:
+            return None
+        d = self.data
+        return Jfif(
+            major=d[5],
+            minor=d[6],
+            density_unit=d[7],
+            x_density=(d[8] << 8) | d[9],
+            y_density=(d[10] << 8) | d[11],
+            thumb_width=d[12],
+            thumb_height=d[13],
+        )
 
 
 @dataclass(frozen=True)

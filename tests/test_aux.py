@@ -1,0 +1,79 @@
+"""Auxiliary subsystem tests: profiling stats, multihost helpers, examples."""
+
+import subprocess
+import sys
+import os
+
+import numpy as np
+import pytest
+
+from compeg_tpu import profiling as P
+
+
+def test_stage_timer_stats():
+    P.reset_stats()
+    with P.stage_timer("unit_test_stage"):
+        pass
+    with P.stage_timer("unit_test_stage"):
+        pass
+    s = P.get_stats()["unit_test_stage"]
+    assert s.count == 2
+    assert s.total_s >= 0
+    assert s.mean_ms >= 0
+    P.log_stats()
+    P.reset_stats()
+    assert "unit_test_stage" not in P.get_stats()
+
+
+def test_device_trace_noop():
+    with P.device_trace(None):
+        pass  # no-op path
+
+
+def test_measure_scaling_shape(test_image):
+    """measure_scaling drives the decode fn with proportional batches."""
+    import jax
+    from compeg_tpu.parallel.multihost import measure_scaling
+
+    calls = []
+
+    def decode_fn(n, x):
+        calls.append((n, x.shape))
+        return jax.numpy.asarray(x) * 1
+
+    def batch_for(n):
+        return (np.zeros((2 * n, 4), np.float32),)
+
+    res = measure_scaling(decode_fn, batch_for, [1, 2], iters=1)
+    assert [r[0] for r in res] == [1, 2]
+    assert res[0][2] == 1.0  # efficiency baseline
+
+
+def test_enc_example_cli(tmp_path, test_image):
+    """examples/enc.py round-trips an image through the CLI."""
+    from PIL import Image
+
+    src = tmp_path / "in.png"
+    out = tmp_path / "out.jpg"
+    Image.fromarray(test_image(16, 16)).save(src)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "examples/enc.py", str(src), str(out),
+         "--sampling", "422", "--ri", "1"],
+        capture_output=True,
+        timeout=120,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    from compeg_tpu import analyze
+
+    meta = analyze(out.read_bytes())
+    assert meta.width == 16 and meta.restart_interval == 1
+
+
+def test_init_distributed_noop():
+    from compeg_tpu.parallel.multihost import init_distributed
+
+    init_distributed()  # single-process: must be a no-op
+    init_distributed(num_processes=1)

@@ -155,3 +155,18 @@ def test_dump_segments_stable(test_image):
     d2 = P.dump_segments(data)
     assert d1 == d2
     assert "SOF0" in d1 and "SOS" in d1
+
+
+def test_jfif_typed_view(test_image):
+    data = encoder.encode(test_image(8, 8), sampling="422")
+    segs = P.parse_segments(data)
+    app0 = segs[0].kind
+    assert isinstance(app0, P.AppSegment)
+    j = app0.jfif()
+    assert j is not None
+    assert (j.major, j.minor) == (1, 1)
+    assert j.x_density == 1 and j.y_density == 1
+    assert j.thumb_width == 0 and j.thumb_height == 0
+    # Non-JFIF APP payloads return None.
+    assert P.AppSegment(1, b"Exif\x00\x00").jfif() is None
+    assert P.AppSegment(0, b"notjfif").jfif() is None
