@@ -112,29 +112,54 @@ class BatchDecoder:
 
 
 class StreamDecoder:
-    """Pipelined streaming decode: host prep of frame i+1 overlaps device
-    decode of frame i; device transfers are issued asynchronously."""
+    """Pipelined streaming decode: host preprocessing runs on worker threads
+    (the native pack releases the GIL) while the device decodes earlier
+    frames, with ``depth`` frames in flight on the device."""
 
     def __init__(
         self,
         retained_coefficients: int = 64,
         interpret: Optional[bool] = None,
         depth: int = 2,
+        prepare_threads: int = 2,
     ):
         self._dec = Decoder(retained_coefficients, interpret)
         self.depth = depth
+        self.prepare_threads = prepare_threads
 
     def decode_iter(self, frames: Iterable[bytes]) -> Iterator[jax.Array]:
         """Yields device arrays in order (packed RGBA [H, W] u32 on the
         fused path), ``depth`` frames in flight. Convert with
         :meth:`to_rgb`."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        it = iter(frames)
         inflight: List[jax.Array] = []
-        for data in frames:
-            pf = self._dec.prepare(data)
-            inflight.append(self._dec.decode_prepared(pf))
-            if len(inflight) >= self.depth:
-                yield inflight.pop(0)
-        yield from inflight
+        if self.prepare_threads <= 1:
+            for data in it:
+                inflight.append(self._dec.decode_prepared(self._dec.prepare(data)))
+                if len(inflight) >= self.depth:
+                    yield inflight.pop(0)
+            yield from inflight
+            return
+
+        with ThreadPoolExecutor(self.prepare_threads) as ex:
+            pending = deque()
+            for _ in range(self.prepare_threads + 1):
+                data = next(it, None)
+                if data is None:
+                    break
+                pending.append(ex.submit(self._dec.prepare, data))
+            while pending:
+                pf = pending.popleft().result()
+                data = next(it, None)
+                if data is not None:
+                    pending.append(ex.submit(self._dec.prepare, data))
+                inflight.append(self._dec.decode_prepared(pf))
+                if len(inflight) >= self.depth:
+                    yield inflight.pop(0)
+            yield from inflight
 
     def to_rgb(self, out: jax.Array) -> np.ndarray:
         """Device output -> [H, W, 3] u8 numpy (synchronizes)."""
