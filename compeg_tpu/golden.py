@@ -163,6 +163,33 @@ def idct_pixels_raw(
     return np.clip(pix, 0.0, 255.0).astype(np.uint8).reshape(n, 64)
 
 
+def idct_pixels_int(
+    coeffs_raw: np.ndarray, img: ImageData, retained_coefficients: int = 64
+) -> np.ndarray:
+    """``[N, 64]`` raw coefficients -> u8 pixels via the exact integer IDCT
+    (ops/int_idct.py). Bit-identical to the device kernel's exact mode."""
+    from .ops.int_idct import idct_2d_rows
+    from .tables import ZIGZAG
+
+    dus = img.dus_per_mcu
+    n = coeffs_raw.shape[0]
+    # Dequantize (zeroing truncated coefficients), clamp to int16 range.
+    q = np.stack([np.asarray(img.qtable_for_comp(c)) for c in img.du_to_comp])
+    if retained_coefficients < 64:
+        q = q.copy()
+        q[:, retained_coefficients:] = 0
+    deq = coeffs_raw.reshape(n // dus, dus, 64).astype(np.int64) * q[None]
+    deq = np.clip(deq, -32768, 32767).astype(np.int32).reshape(n, 64)
+    zz = np.asarray(ZIGZAG).reshape(8, 8)
+    cols = [[deq[:, zz[r, c]] for c in range(8)] for r in range(8)]
+    out = idct_2d_rows(cols)
+    pix = np.empty((n, 64), dtype=np.int32)
+    for r in range(8):
+        for c in range(8):
+            pix[:, r * 8 + c] = out[r][c]
+    return np.clip(pix, 0, 255).astype(np.uint8)
+
+
 def assemble_planes(
     img: ImageData, pixels: np.ndarray
 ) -> List[np.ndarray]:
@@ -202,7 +229,7 @@ def ycbcr_to_rgb_reference(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.
 
 
 def decode_rgb(
-    data_or_img, retained_coefficients: int = 64
+    data_or_img, retained_coefficients: int = 64, idct: str = "float"
 ) -> np.ndarray:
     """Full golden decode: JPEG bytes (or ImageData) -> ``[H, W, 3]`` u8.
 
@@ -213,7 +240,10 @@ def decode_rgb(
 
     img = data_or_img if isinstance(data_or_img, ImageData) else analyze(data_or_img)
     coeffs = decode_coefficients(img, dequant=False)
-    pixels = idct_pixels_raw(coeffs, img, retained_coefficients)
+    if idct == "int":
+        pixels = idct_pixels_int(coeffs, img, retained_coefficients)
+    else:
+        pixels = idct_pixels_raw(coeffs, img, retained_coefficients)
     planes = assemble_planes(img, pixels)
     if len(planes) == 1:
         yp = planes[0][: img.height, : img.width]

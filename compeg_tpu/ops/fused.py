@@ -61,7 +61,7 @@ def _slot_layout(samplings):
 
 
 def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
-                       unroll: int = 4):
+                       unroll: int = 4, exact_idct: bool = False):
     W = plan.words_per_segment
     dus = plan.dus_per_mcu
     mh, mw = _mcu_shape(samplings)
@@ -174,24 +174,43 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
         nb_s[:], wi_s[:] = nbits, widx
 
         # ---- phase 2: fused dequant+IDCT per DU slot ---------------------
-        # l_ref holds per-slot [64, 64] operators with the quantizer folded
-        # into the matrix (ops/luts.idct_dequant_matrices).
-        for slot in range(dus):
-            xf = coeff_s[slot].astype(F32)
-            Lq = l_ref[slot]
-            for s in range(SUBLANES):
-                # HIGHEST keeps the MXU's f32 path (multi-pass bf16) so the
-                # pixel output stays within +-1 of the f32 golden decoder.
-                p = jnp.dot(
-                    Lq, xf[:, s, :],
-                    preferred_element_type=F32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                p = jnp.clip(p + F32(128.5), 0.0, 255.0)
-                # In-place: pixels overwrite the coefficient scratch (the
-                # reference reuses its coefficients buffer the same way,
-                # src/dct.wgsl:186-201); xf was materialized above.
-                coeff_s[slot, :, s, :] = p.astype(I32)
+        if exact_idct:
+            # Exact-integer mode: l_ref holds the broadcast int32 quantizers
+            # [DUS, 64, 8, 128]; the fixed-point Loeffler IDCT
+            # (ops/int_idct.py) runs bit-identically to the golden decoder.
+            from ..tables import ZIGZAG
+            from .int_idct import idct_2d_rows
+
+            zz = [int(v) for v in ZIGZAG]
+            for slot in range(dus):
+                xq = jnp.clip(coeff_s[slot] * l_ref[slot], -32768, 32767)
+                cols = [
+                    [xq[zz[r * 8 + c]] for c in range(8)] for r in range(8)
+                ]
+                out = idct_2d_rows(cols)
+                for r in range(8):
+                    for c in range(8):
+                        coeff_s[slot, r * 8 + c] = jnp.clip(out[r][c], 0, 255)
+        else:
+            # l_ref holds per-slot [64, 64] f32 operators with the quantizer
+            # folded into the matrix (ops/luts.idct_dequant_matrices).
+            for slot in range(dus):
+                xf = coeff_s[slot].astype(F32)
+                Lq = l_ref[slot]
+                for s in range(SUBLANES):
+                    # HIGHEST keeps the MXU's f32 path (multi-pass bf16) so
+                    # the pixel output stays within +-1 of the f32 golden
+                    # decoder.
+                    p = jnp.dot(
+                        Lq, xf[:, s, :],
+                        preferred_element_type=F32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    p = jnp.clip(p + F32(128.5), 0.0, 255.0)
+                    # In-place: pixels overwrite the coefficient scratch (the
+                    # reference reuses its coefficients buffer the same way,
+                    # src/dct.wgsl:186-201); xf was materialized above.
+                    coeff_s[slot, :, s, :] = p.astype(I32)
 
         # ---- phase 3: composite MCU -> packed RGBA -----------------------
         gray = len(samplings) == 1
@@ -223,16 +242,19 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("plan", "samplings", "retained", "interpret")
+    jax.jit,
+    static_argnames=("plan", "samplings", "retained", "interpret", "exact_idct"),
 )
 def fused_decode_blocks(
     words: jax.Array,  # [G, W, 8, 128] uint32
     seg_mcus: jax.Array,  # [G, 8, 128] int32
-    idct_l: jax.Array,  # [DUS, 64, 64] f32 dequant+IDCT operators per slot
+    idct_l: jax.Array,  # [DUS, 64, 64] f32 operators, or int32 broadcast
+                        # quantizers [DUS, 64, 8, 128] when exact_idct
     plan: EntropyPlan,
     samplings: Tuple[Tuple[int, int], ...],
     retained: int = 64,
     interpret: bool = False,
+    exact_idct: bool = False,
 ) -> jax.Array:
     """Full fused decode. Returns ``[G, RI, mcu_h, mcu_w, 8, 128]`` u32
     packed RGBA (r | g<<8 | b<<16 | a<<24), segment-major."""
@@ -243,7 +265,8 @@ def fused_decode_blocks(
     # Interpret mode (tests) pays per-op tracing/execution costs; the unroll
     # only helps compiled TPU execution.
     kernel = _make_fused_kernel(plan, samplings, retained,
-                                unroll=1 if interpret else 4)
+                                unroll=1 if interpret else 4,
+                                exact_idct=exact_idct)
     return pl.pallas_call(
         kernel,
         grid=(G, plan.ri),

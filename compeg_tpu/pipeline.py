@@ -105,23 +105,25 @@ def _as_blocks(words: jax.Array) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("plan", "geom", "retained", "interpret")
+    jax.jit,
+    static_argnames=("plan", "geom", "retained", "interpret", "exact_idct"),
 )
 def decode_frame_fused(
     words: jax.Array,  # [G, W, 8, 128] uint32 (or [G*1024, W] rows)
     seg_mcus: jax.Array,  # [G, 8, 128] int32
-    idct_l: jax.Array,  # [DUS, 64, 64] f32 dequant+IDCT operators
+    idct_l: jax.Array,  # [DUS, 64, 64] f32 operators (or i32 quantizers)
     plan: E.EntropyPlan,
     geom: FrameGeometry,
     retained: int = 64,
     interpret: bool = False,
+    exact_idct: bool = False,
 ) -> jax.Array:
     """Single fused kernel path: scan words -> packed RGBA [H, W] u32."""
     from .ops import fused as F
 
     blocks = F.fused_decode_blocks(
         _as_blocks(words), seg_mcus, idct_l, plan, geom.samplings,
-        retained, interpret,
+        retained, interpret, exact_idct,
     )
     return F.assemble_image(blocks, geom)
 
@@ -170,7 +172,11 @@ class Decoder:
         interpret: Optional[bool] = None,
         fused: bool = True,
         fancy_upsampling: bool = False,
+        exact_idct: bool = False,
     ):
+        # exact_idct: fixed-point integer IDCT, bit-identical to
+        # golden.decode_rgb(idct="int") on every backend.
+        self.exact_idct = exact_idct
         # fancy (triangle-filter) chroma upsampling runs on the staged path;
         # the fused kernel composites with the reference's nearest-neighbor
         # semantics.
@@ -280,14 +286,27 @@ class Decoder:
         )
 
     def _stream_consts(self, pf: PreparedFrame) -> jax.Array:
-        key = pf.qz_by_slot.tobytes() + bytes([self.retained])
+        key = (
+            pf.qz_by_slot.tobytes()
+            + bytes([self.retained, int(self.exact_idct)])
+        )
         hit = self._const_cache.get(key)
         if hit is None:
-            from .ops.luts import idct_dequant_matrices
+            if self.exact_idct:
+                q = pf.qz_by_slot.astype(np.int32)
+                if self.retained < 64:
+                    q = q.copy()
+                    q[:, self.retained:] = 0
+                qb = np.broadcast_to(
+                    q[:, :, None, None], q.shape + (S.SUBLANES, S.LANES)
+                )
+                hit = jax.device_put(np.ascontiguousarray(qb))
+            else:
+                from .ops.luts import idct_dequant_matrices
 
-            hit = jax.device_put(
-                idct_dequant_matrices(pf.qz_by_slot, self.retained)
-            )
+                hit = jax.device_put(
+                    idct_dequant_matrices(pf.qz_by_slot, self.retained)
+                )
             self._const_cache[key] = hit
         return hit
 
@@ -304,6 +323,7 @@ class Decoder:
                 pf.geom,
                 self.retained,
                 self.interpret,
+                self.exact_idct,
             )
         return decode_frame_device(
             pf.words,

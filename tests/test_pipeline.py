@@ -126,3 +126,15 @@ def test_width_rebucket_across_frames(test_image):
     for d, o in ((small, o1), (big, o2), (small, o3)):
         want = golden.decode_rgb(d)
         assert np.abs(o.astype(int) - want.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("sampling", ["422", "444"])
+def test_exact_idct_bit_identical(sampling, test_image):
+    """exact_idct mode must match golden's integer IDCT byte-for-byte."""
+    from compeg_tpu.pipeline import Decoder
+
+    img = test_image(24, 40, "noise")
+    data = encoder.encode(img, sampling=sampling, quality=85, restart_interval_mcus=1)
+    got = Decoder(interpret=True, exact_idct=True).decode(data)
+    want = golden.decode_rgb(data, idct="int")
+    assert np.array_equal(got, want)
