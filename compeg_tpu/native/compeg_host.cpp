@@ -20,6 +20,50 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
+namespace {
+
+// 0xFF bytes can be classified independently: the byte after an 0xFF of a
+// stuffing pair (0x00) or an RST marker (0xD0-0xD7) is never itself 0xFF,
+// so "look at scan[p+1]" gives the exact same answer whether or not the
+// previous pair was consumed. That independence is what lets every scanner
+// below iterate a SIMD movemask of FF positions instead of walking bytes.
+//
+// visit_ff calls fn(p) for every p in [lo, hi) with base[p] == 0xFF, in
+// ascending order. fn may read base[p + 1] when p + 1 < buffer end.
+template <typename Fn>
+static inline void visit_ff(const uint8_t* base, int64_t lo, int64_t hi,
+                            Fn&& fn) {
+  int64_t i = lo;
+#if defined(__AVX2__)
+  const __m256i ff = _mm256_set1_epi8(static_cast<char>(0xFF));
+  for (; i + 32 <= hi; i += 32) {
+    __m256i v =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(base + i));
+    uint32_t m = static_cast<uint32_t>(
+        _mm256_movemask_epi8(_mm256_cmpeq_epi8(v, ff)));
+    while (m) {
+      int b = __builtin_ctz(m);
+      m &= m - 1;
+      fn(i + b);
+    }
+  }
+#endif
+  for (; i < hi; i++)
+    if (base[i] == 0xFF) fn(i);
+}
+
+// True if any byte of the 8-byte word is 0xFF.
+static inline bool has_ff_u64(uint64_t v) {
+  uint64_t x = ~v;  // FF bytes -> 0x00
+  return ((x - 0x0101010101010101ull) & ~x & 0x8080808080808080ull) != 0;
+}
+
+}  // namespace
+
 namespace {
 
 // Persistent worker pool: spawning std::threads per call costs ~0.5 ms on
@@ -115,27 +159,19 @@ int compeg_scan_info(const uint8_t* scan, int64_t len, int64_t* n_intervals,
   int64_t seg_start = 0;  // raw offset of current segment
   int64_t stuffed = 0;    // stuffing bytes removed so far in this segment
   int64_t mx = 0;
-  int64_t i = 0;
-  while (i < len) {
-    const void* p = std::memchr(scan + i, 0xFF, static_cast<size_t>(len - i));
-    if (p == nullptr) break;
-    i = static_cast<const uint8_t*>(p) - scan;
-    if (i + 1 >= len) break;  // trailing lone FF is plain data
+  visit_ff(scan, 0, len, [&](int64_t i) {
+    if (i + 1 >= len) return;  // trailing lone FF is plain data
     uint8_t nxt = scan[i + 1];
     if (nxt == 0x00) {
       stuffed++;
-      i += 2;
     } else if (nxt >= 0xD0 && nxt <= 0xD7) {
       int64_t cur = i - seg_start - stuffed;
       if (cur > mx) mx = cur;
       count++;
-      i += 2;
-      seg_start = i;
+      seg_start = i + 2;
       stuffed = 0;
-    } else {
-      i++;
     }
-  }
+  });
   int64_t cur = len - seg_start - stuffed;
   if (cur > mx) mx = cur;
   *n_intervals = count;
@@ -149,19 +185,28 @@ int compeg_scan_info(const uint8_t* scan, int64_t len, int64_t* n_intervals,
 int64_t compeg_find_scan_end(const uint8_t* scan, int64_t len,
                              int64_t offset) {
   int64_t i = offset;
-  while (i < len) {
-    const void* p = std::memchr(scan + i, 0xFF, static_cast<size_t>(len - i));
-    if (p == nullptr) return len;
-    i = static_cast<const uint8_t*>(p) - scan;
+#if defined(__AVX2__)
+  const __m256i ff = _mm256_set1_epi8(static_cast<char>(0xFF));
+  for (; i + 32 <= len; i += 32) {
+    __m256i v = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(scan + i));
+    uint32_t m = static_cast<uint32_t>(
+        _mm256_movemask_epi8(_mm256_cmpeq_epi8(v, ff)));
+    while (m) {
+      int b = __builtin_ctz(m);
+      m &= m - 1;
+      int64_t p = i + b;
+      if (p + 1 >= len) return len;
+      uint8_t nxt = scan[p + 1];
+      if (nxt != 0x00 && nxt != 0xFF && !(nxt >= 0xD0 && nxt <= 0xD7))
+        return p;
+    }
+  }
+#endif
+  for (; i < len; i++) {
+    if (scan[i] != 0xFF) continue;
     if (i + 1 >= len) return len;
     uint8_t nxt = scan[i + 1];
-    if (nxt == 0x00 || (nxt >= 0xD0 && nxt <= 0xD7)) {
-      i += 2;
-    } else if (nxt == 0xFF) {
-      i++;
-    } else {
-      return i;
-    }
+    if (nxt != 0x00 && nxt != 0xFF && !(nxt >= 0xD0 && nxt <= 0xD7)) return i;
   }
   return len;
 }
@@ -234,33 +279,36 @@ int64_t pack_segment(const uint8_t* scan, SegSpan span, uint32_t* words,
 
 namespace {
 
-// Pack one segment into a contiguous row of W MSB-first words.
+// Pack one segment into a contiguous row of W MSB-first words, zeroing the
+// row's padding tail (so callers need no bulk memset of the words buffer).
 // Returns destuffed byte count or -1 on overflow.
+//
+// Fast path: 8 raw bytes at a time with an inline any-byte-is-FF check —
+// segments average a few dozen bytes and most contain no 0xFF at all, so a
+// per-segment memchr call would cost more than the copy itself.
 int64_t pack_segment_row(const uint8_t* scan, SegSpan span, uint32_t* row,
-                         int64_t max_bytes) {
+                         int64_t W) {
+  const int64_t max_bytes = W * 4;
   const int64_t raw = span.end - span.begin;
   const uint8_t* src = scan + span.begin;
-  if (std::memchr(src, 0xFF, static_cast<size_t>(raw)) == nullptr) {
-    if (raw > max_bytes) return -1;
-    int64_t w = 0, i = 0;
-    for (; i + 4 <= raw; i += 4, w++) {
-      uint32_t v;
-      std::memcpy(&v, src + i, 4);
-      row[w] = __builtin_bswap32(v);
-    }
-    if (i < raw) {
-      uint32_t v = 0;
-      for (int64_t k = i; k < raw; k++)
-        v |= static_cast<uint32_t>(src[k]) << (24 - 8 * (k - i));
-      row[w] = v;
-    }
-    return raw;
+  int64_t i = 0, w = 0;
+  while (i + 8 <= raw) {
+    uint64_t v;
+    std::memcpy(&v, src + i, 8);
+    if (has_ff_u64(v)) break;
+    if (i + 8 > max_bytes) break;  // tail may still fit; byte loop decides
+    uint64_t b = __builtin_bswap64(v);
+    row[w] = static_cast<uint32_t>(b >> 32);
+    row[w + 1] = static_cast<uint32_t>(b);
+    w += 2;
+    i += 8;
   }
-  int64_t off = 0;
+  // Byte loop for the remainder (tail < 8 bytes, or an 0xFF was sighted).
+  int64_t off = i;
   uint32_t acc = 0;
-  for (int64_t i = span.begin; i < span.end;) {
-    uint8_t b = scan[i];
-    if (b == 0xFF && i + 1 < span.end && scan[i + 1] == 0x00) {
+  for (; i < raw;) {
+    uint8_t b = src[i];
+    if (b == 0xFF && i + 1 < raw && src[i + 1] == 0x00) {
       i += 2;
     } else {
       i += 1;
@@ -274,6 +322,7 @@ int64_t pack_segment_row(const uint8_t* scan, SegSpan span, uint32_t* row,
     off++;
   }
   if (off & 3) row[off >> 2] = acc;
+  for (int64_t k = (off + 3) >> 2; k < W; k++) row[k] = 0;
   return off;
 }
 
@@ -300,16 +349,11 @@ int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
     int64_t lo = len * t / nt, hi = len * (t + 1) / nt;
     auto& out = marks[t];
     out.reserve(static_cast<size_t>(expected) / nt + 8);
-    int64_t i = lo;
-    while (i < hi) {
-      const void* p = std::memchr(scan + i, 0xFF, static_cast<size_t>(hi - i));
-      if (p == nullptr) break;
-      i = static_cast<const uint8_t*>(p) - scan;
-      if (i + 1 >= len) break;
+    visit_ff(scan, lo, hi, [&](int64_t i) {
+      if (i + 1 >= len) return;
       uint8_t nxt = scan[i + 1];
       if (nxt >= 0xD0 && nxt <= 0xD7) out.push_back(i);
-      i++;
-    }
+    });
   };
   Pool::instance().run(nt, find_markers);
 
@@ -325,7 +369,6 @@ int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
   spans.push_back({start, len});
   if (static_cast<int64_t>(spans.size()) != expected) return -3;
 
-  const int64_t max_bytes = static_cast<int64_t>(W) * 4;
   const int64_t nseg = spans.size();
   const int64_t total = static_cast<int64_t>(G) * kSegsPerBlock;
   std::memset(active, 0, sizeof(int32_t) * total);
@@ -334,11 +377,10 @@ int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
   std::vector<int> rcs(nt, 0);
   int64_t chunk = (nseg + nt - 1) / nt;
   auto work = [&](int t) {
+    // pack_segment_row zeroes each row's padding tail, so no bulk memset.
     int64_t lo = t * chunk, hi = std::min<int64_t>(nseg, lo + chunk);
-    if (lo < hi)
-      std::memset(words + lo * W, 0, sizeof(uint32_t) * (hi - lo) * W);
     for (int64_t s = lo; s < hi; s++) {
-      if (pack_segment_row(scan, spans[s], words + s * W, max_bytes) < 0) {
+      if (pack_segment_row(scan, spans[s], words + s * W, W) < 0) {
         rcs[t] = -2;
         return;
       }
