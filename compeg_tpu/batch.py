@@ -31,6 +31,41 @@ from .pipeline import Decoder, FrameGeometry, PreparedFrame
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("plan", "geom", "batch", "retained", "interpret", "exact_idct"),
+)
+def decode_batch_fused(
+    words: jax.Array,  # [B*G*1024, W] rows or [B*G, W, 8, 128] uint32
+    seg_mcus: jax.Array,  # [B*G, 8, 128] int32
+    idct_l: jax.Array,  # [DUS, 64, 64] f32 operators (or i32 quantizers)
+    plan: E.EntropyPlan,  # with num_blocks == B*G
+    geom: FrameGeometry,
+    batch: int,
+    retained: int = 64,
+    interpret: bool = False,
+    exact_idct: bool = False,
+) -> jax.Array:
+    """Decode ``batch`` same-geometry frames in ONE fused dispatch.
+
+    One kernel launch covers every restart segment of every frame (the grid
+    is just "blocks of 1024 segments", so frames concatenate along it), and
+    the caller's single ``words`` array means one h2d transfer per batch —
+    the transfer-latency amortization the tunnel-bound rig needs. Returns
+    packed RGBA ``[B, H, W]`` u32.
+    """
+    from .ops import fused as F
+    from .pipeline import _as_blocks
+
+    blocks = F.fused_decode_blocks(
+        _as_blocks(words), seg_mcus, idct_l, plan, geom.samplings,
+        retained, interpret, exact_idct,
+    )
+    g = blocks.shape[0] // batch
+    blocks = blocks.reshape((batch, g) + blocks.shape[1:])
+    return jax.vmap(lambda b: F.assemble_image(b, geom))(blocks)
+
+
+@functools.partial(
     jax.jit, static_argnames=("plan", "geom", "batch", "retained", "interpret")
 )
 def decode_batch_device(
@@ -67,11 +102,28 @@ def decode_batch_device(
 
 
 class BatchDecoder:
-    """Decode batches of same-geometry frames in single dispatches."""
+    """Decode batches of same-geometry frames in single dispatches.
 
-    def __init__(self, retained_coefficients: int = 64, interpret: Optional[bool] = None):
-        self._dec = Decoder(retained_coefficients, interpret)
+    The default path is the fused single-kernel decode (entropy + IDCT +
+    composite in VMEM) over the concatenated batch, with one h2d upload per
+    batch; ``fused=False`` keeps the staged debug pipeline."""
+
+    def __init__(
+        self,
+        retained_coefficients: int = 64,
+        interpret: Optional[bool] = None,
+        fused: bool = True,
+        exact_idct: bool = False,
+    ):
+        self._dec = Decoder(
+            retained_coefficients, interpret, exact_idct=exact_idct
+        )
         self.retained = retained_coefficients
+        self.fused = fused
+        self.exact_idct = exact_idct
+        # seg_mcus is a pure function of stream geometry — identical for
+        # every frame of a batch — so the batched copy uploads once.
+        self._segmcus_cache: dict = {}
 
     def prepare_batch(self, frames: Sequence[bytes]) -> List[PreparedFrame]:
         pfs = [self._dec.prepare(f) for f in frames]
@@ -81,12 +133,8 @@ class BatchDecoder:
                 bail("batched frames must share geometry and tables")
         return pfs
 
-    def decode_prepared(self, pfs: Sequence[PreparedFrame]) -> jax.Array:
-        p0 = pfs[0].plan
-        b = len(pfs)
-        words = np.concatenate([pf.words for pf in pfs], axis=0)
-        seg_mcus = np.concatenate([pf.seg_mcus for pf in pfs], axis=0)
-        plan = E.EntropyPlan(
+    def _batch_plan(self, p0: E.EntropyPlan, b: int) -> E.EntropyPlan:
+        return E.EntropyPlan(
             ri=p0.ri,
             du_to_comp=p0.du_to_comp,
             words_per_segment=p0.words_per_segment,
@@ -95,6 +143,30 @@ class BatchDecoder:
             dc=p0.dc,
             ac=p0.ac,
         )
+
+    def decode_prepared(self, pfs: Sequence[PreparedFrame]) -> jax.Array:
+        p0 = pfs[0].plan
+        b = len(pfs)
+        words = np.concatenate([pf.words for pf in pfs], axis=0)
+        key = (pfs[0].geom, p0.num_blocks, b)
+        seg_mcus = self._segmcus_cache.get(key)
+        if seg_mcus is None:
+            one = np.asarray(pfs[0].seg_mcus)
+            seg_mcus = jax.device_put(np.tile(one, (b, 1, 1)))
+            self._segmcus_cache[key] = seg_mcus
+        plan = self._batch_plan(p0, b)
+        if self.fused:
+            return decode_batch_fused(
+                words,
+                seg_mcus,
+                self._dec._stream_consts(pfs[0]),
+                plan,
+                pfs[0].geom,
+                b,
+                self.retained,
+                self._dec.interpret,
+                self.exact_idct,
+            )
         return decode_batch_device(
             words,
             seg_mcus,
@@ -106,9 +178,17 @@ class BatchDecoder:
             self._dec.interpret,
         )
 
+    def to_rgb(self, out: jax.Array) -> np.ndarray:
+        """Device batch output -> [B, H, W, 3] u8 (synchronizes)."""
+        if self.fused:
+            from .ops.fused import rgba_to_rgb_array
+
+            return np.ascontiguousarray(rgba_to_rgb_array(np.asarray(out)))
+        return np.asarray(out)
+
     def decode(self, frames: Sequence[bytes]) -> np.ndarray:
         """[B frames] -> [B, H, W, 3] u8."""
-        return np.asarray(self.decode_prepared(self.prepare_batch(frames)))
+        return self.to_rgb(self.decode_prepared(self.prepare_batch(frames)))
 
 
 class StreamDecoder:

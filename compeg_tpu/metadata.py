@@ -112,6 +112,11 @@ SUPPORTED_SAMPLINGS = {
     ((1, 1),),  # grayscale
 }
 
+# Same hard cap as the reference (wgpu dispatch limit x workgroup size,
+# src/lib.rs:295-298). Our grids are not dispatch-limited, but the cap
+# bounds the device buffers a hostile/degenerate file can demand.
+MAX_RESTART_INTERVALS = 64 * 65535
+
 
 def analyze(data: bytes, use_native: Optional[bool] = None) -> ImageData:
     """Parse + validate ``data`` into an :class:`ImageData`.
@@ -173,7 +178,7 @@ def _native_raw(data: bytes, native) -> dict:
         al=info.al,
         scan_offset=info.scan_offset,
         scan_len=info.scan_len,
-        scan_comp_ids=[c["id"] for c in comps],
+        scan_comp_ids=list(info.scan_comp_id[: info.scan_ncomp]),
     )
 
 
@@ -193,6 +198,16 @@ def _finish_analysis(raw: dict, data: bytes) -> ImageData:
         bail(f"unsupported component sampling {sampling}")
     if raw["ss"] != 0 or raw["se"] != 63 or raw["ah"] != 0 or raw["al"] != 0:
         bail("non-baseline scan header")
+    # Scan components must be the frame components, in frame order
+    # (reference: src/lib.rs:742-745). Both analyzers enforce this so a
+    # malformed file cannot analyze successfully on one path and fail on
+    # the other.
+    scan_ids = raw["scan_comp_ids"]
+    if len(scan_ids) != len(raw["comps"]):
+        bail("scan/frame component count mismatch")
+    for fc, sid in zip(raw["comps"], scan_ids):
+        if fc["id"] != sid:
+            bail("scan component order must match frame order")
 
     comps: List[ComponentInfo] = []
     for c in raw["comps"]:
@@ -223,6 +238,11 @@ def _finish_analysis(raw: dict, data: bytes) -> ImageData:
     img.had_dri = ri is not None and ri > 0
     img.restart_interval = ri if img.had_dri else img.total_mcus
     img.total_restart_intervals = -(-img.total_mcus // img.restart_interval)
+    if img.total_restart_intervals > MAX_RESTART_INTERVALS:
+        bail(
+            f"image has {img.total_restart_intervals} restart intervals, "
+            f"more than the supported {MAX_RESTART_INTERVALS}"
+        )
     img.du_to_comp = _derive_du_layout(comps)
     img.dus_per_mcu = len(img.du_to_comp)
     return img
@@ -313,6 +333,11 @@ def _analyze_python(data: bytes) -> ImageData:
     # No DRI (or Ri=0): the whole scan is one giant interval, parallelism 1.
     img.restart_interval = ri if img.had_dri else img.total_mcus
     img.total_restart_intervals = -(-img.total_mcus // img.restart_interval)
+    if img.total_restart_intervals > MAX_RESTART_INTERVALS:
+        bail(
+            f"image has {img.total_restart_intervals} restart intervals, "
+            f"more than the supported {MAX_RESTART_INTERVALS}"
+        )
     img.du_to_comp = _derive_du_layout(comps)
     img.dus_per_mcu = len(img.du_to_comp)
     return img

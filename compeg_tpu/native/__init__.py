@@ -177,6 +177,8 @@ class CompegImageInfo(ctypes.Structure):
         ("ht_nvalues", ctypes.c_int32 * 8),
         ("ht_counts", (ctypes.c_uint8 * 16) * 8),
         ("ht_values", (ctypes.c_uint8 * 256) * 8),
+        ("scan_ncomp", ctypes.c_int32),
+        ("scan_comp_id", ctypes.c_int32 * 4),
     ]
 
 

@@ -53,6 +53,10 @@ struct CompegImageInfo {
   int32_t ht_class[8], ht_dest[8], ht_nvalues[8];
   uint8_t ht_counts[8][16];
   uint8_t ht_values[8][256];
+  // Scan header components as written (for frame-order validation, the
+  // reference errors when scan order differs: src/lib.rs:742-745).
+  int32_t scan_ncomp;
+  int32_t scan_comp_id[4];
 };
 
 // Error codes.
@@ -161,10 +165,14 @@ int compeg_parse(const uint8_t* data, int64_t len, CompegImageInfo* out) {
         uint8_t ns;
         if (!c.u8(&ns)) return out->status = kErrTruncated;
         if (ns > 4) return out->status = kErrTooManyComponents;
+        out->scan_ncomp = ns;
         for (int k = 0; k < ns; k++) {
           uint8_t cs, tdta;
           if (!c.u8(&cs) || !c.u8(&tdta)) return out->status = kErrTruncated;
-          // Match scan component to frame component by id.
+          out->scan_comp_id[k] = cs;
+          // Match scan component to frame component by id; order/count
+          // validation happens in Python (_finish_analysis) so the error
+          // text matches the pure-Python analyzer.
           for (int j = 0; j < out->ncomp; j++) {
             if (out->comp_id[j] == cs) {
               out->comp_dc[j] = tdta >> 4;

@@ -342,7 +342,12 @@ class JpegParser:
         if marker == EOI:
             self._done = True
             return Segment(offset, marker, None)
-        if is_rst(marker) or marker == TEM or marker == 0x00:
+        if marker == 0x00:
+            # `FF 00` outside a scan is byte-stuffing leaked into marker
+            # position — always malformed (the reference errors identically,
+            # src/file.rs:43-45; see PARITY.md).
+            bail(f"invalid marker 0x00 at offset {offset}")
+        if is_rst(marker) or marker == TEM:
             # Bare markers with no payload (RST outside a scan is unusual but
             # representable).
             return Segment(offset, marker, None)
@@ -372,9 +377,22 @@ class JpegParser:
     # -- per-kind payload parsers -------------------------------------------
 
     @staticmethod
+    def _skip_excess(r: Reader, what: str) -> None:
+        """Warn about (and skip) declared-but-unparsed payload bytes — the
+        reference accepts such sloppy-but-decodable files with a warning
+        (src/file.rs:79-90) rather than rejecting them."""
+        if r.remaining() > 0:
+            log.warning(
+                "%d trailing byte(s) in %s segment payload; skipping",
+                r.remaining(),
+                what,
+            )
+            r.take(r.remaining())
+
+    @staticmethod
     def _parse_dqt(r: Reader) -> DqtSegment:
         tables: List[QuantTable] = []
-        while r.remaining() > 0:
+        while r.remaining() >= 65:  # 1 (Pq/Tq) + at least 64 values
             pqtq = r.u8()
             pq, tq = pqtq >> 4, pqtq & 0xF
             if pq not in (0, 1):
@@ -387,12 +405,15 @@ class JpegParser:
                 raw = r.take(128)
                 vals = tuple(struct.unpack(">64H", raw))
             tables.append(QuantTable(pq, tq, vals))
+        if not tables:
+            bail("DQT segment with no complete table")
+        JpegParser._skip_excess(r, "DQT")
         return DqtSegment(tuple(tables))
 
     @staticmethod
     def _parse_dht(r: Reader) -> DhtSegment:
         tables: List[HuffmanTable] = []
-        while r.remaining() > 0:
+        while r.remaining() >= 17:  # 1 (Tc/Th) + 16 counts
             tcth = r.u8()
             tc, th = tcth >> 4, tcth & 0xF
             if tc not in (0, 1):
@@ -405,6 +426,9 @@ class JpegParser:
                 bail(f"DHT declares {total} codes")
             values = tuple(r.take(total))
             tables.append(HuffmanTable(tc, th, counts, values))
+        if not tables:
+            bail("DHT segment with no complete table")
+        JpegParser._skip_excess(r, "DHT")
         return DhtSegment(tuple(tables))
 
     @staticmethod

@@ -173,7 +173,14 @@ class Decoder:
         fused: bool = True,
         fancy_upsampling: bool = False,
         exact_idct: bool = False,
+        max_device_bytes: int = 8 << 30,
     ):
+        # Device-buffer budget per frame — the analogue of the reference's
+        # MAX_RESTART_INTERVALS dispatch cap (src/lib.rs:295-298). A
+        # degenerate geometry (e.g. a large no-DRI image: one giant interval
+        # padded to a 1024-lane block) implies absurd padded intermediates;
+        # bail with a clean CompegError instead of letting XLA OOM.
+        self.max_device_bytes = max_device_bytes
         # exact_idct: fixed-point integer IDCT, bit-identical to
         # golden.decode_rgb(idct="int") on every backend.
         self.exact_idct = exact_idct
@@ -229,6 +236,25 @@ class Decoder:
                 expected,
             )
             self._warned_parallelism = True
+        # Device-buffer budget check: the dominating intermediate is the
+        # padded per-MCU block array — fused path: packed RGBA pixels
+        # [G, RI, mh, mw, 8, 128]; staged path: coefficients
+        # [G, RI, DUS, 64, 8, 128] (i32 each).
+        g = -(-expected // S.SEGMENTS_PER_BLOCK)
+        padded_mcus = g * S.SEGMENTS_PER_BLOCK * img.restart_interval
+        per_mcu = (
+            img.mcu_width * img.mcu_height
+            if self.fused
+            else img.dus_per_mcu * 64
+        )
+        est = padded_mcus * per_mcu * 4
+        if est > self.max_device_bytes:
+            raise CompegError(
+                f"decode would need ~{est >> 20} MiB of device intermediates "
+                f"(restart interval {img.restart_interval} MCUs over "
+                f"{expected} segments); exceeds the {self.max_device_bytes >> 20}"
+                " MiB budget — fall back to a software decoder"
+            )
         if native.available():
             g = -(-expected // S.SEGMENTS_PER_BLOCK)
             w = self._cached_width

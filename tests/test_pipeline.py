@@ -122,7 +122,6 @@ def test_width_rebucket_across_frames(test_image):
     o1 = dec.decode(small)
     o2 = dec.decode(big)  # overflows the cached width; must re-bucket
     o3 = dec.decode(small)
-    assert np.array_equal(o2, golden.decode_rgb(big) if False else o2)
     for d, o in ((small, o1), (big, o2), (small, o3)):
         want = golden.decode_rgb(d)
         assert np.abs(o.astype(int) - want.astype(int)).max() <= 1
@@ -146,11 +145,14 @@ def test_reference_parity_mode(test_image):
     reference's quality envelope (src/metadata.rs:43)."""
     from compeg_tpu.pipeline import Decoder
 
-    img = test_image(16, 32, "gradient")
+    # Noise has energy in the high zigzag indices, so retained=32 truncation
+    # actually changes pixels (a smooth gradient quantizes those to zero).
+    img = test_image(16, 32, "noise")
     data = encoder.encode(img, sampling="422", quality=85, restart_interval_mcus=1)
     got = Decoder(interpret=True, exact_idct=True, retained_coefficients=32).decode(data)
     want = golden.decode_rgb(data, retained_coefficients=32, idct="int")
     assert np.array_equal(got, want)
-    # Truncation visibly differs from the full-quality decode somewhere.
+    # Truncation must visibly differ from the full-quality decode (i.e.
+    # retained=32 is actually in effect, not silently ignored).
     full = golden.decode_rgb(data, idct="int")
-    assert not np.array_equal(want, full) or True
+    assert not np.array_equal(want, full)
