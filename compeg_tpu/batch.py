@@ -58,7 +58,7 @@ def decode_batch_fused(
 
     blocks = F.fused_decode_blocks(
         _as_blocks(words), seg_mcus, idct_l, plan, geom.samplings,
-        retained, interpret, exact_idct,
+        retained, interpret, exact_idct, tiled=geom.tiling is not None,
     )
     g = blocks.shape[0] // batch
     blocks = blocks.reshape((batch, g) + blocks.shape[1:])
@@ -115,8 +115,11 @@ class BatchDecoder:
         fused: bool = True,
         exact_idct: bool = False,
     ):
+        # fused is passed through: prepare() chooses the raster-tiled slot
+        # layout only for the fused path, and the staged batch decode
+        # (decode_batch_device) assumes linear segment-major slots.
         self._dec = Decoder(
-            retained_coefficients, interpret, exact_idct=exact_idct
+            retained_coefficients, interpret, fused=fused, exact_idct=exact_idct
         )
         self.retained = retained_coefficients
         self.fused = fused

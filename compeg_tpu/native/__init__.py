@@ -83,6 +83,8 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint32),
         ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
     ]
     lib.compeg_pack.restype = ctypes.c_int
     lib.compeg_pack.argtypes = [
@@ -203,11 +205,14 @@ def pack_rows(
     n_threads: int = 0,
     offset: int = 0,
     length: Optional[int] = None,
+    tile: Optional[Tuple[int, int]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Destuff + split + pack into contiguous per-segment rows
     ``[G*1024, W]`` (the device transposes into its block layout) and the
     ``[G, 8, 128]`` active mask. ``scan`` may be the whole file with
-    ``offset``/``length`` selecting the entropy-coded span (no slice copy)."""
+    ``offset``/``length`` selecting the entropy-coded span (no slice copy).
+    ``tile=(segs_per_row, n_tc)`` applies the raster-tiled slot permutation
+    (:class:`compeg_tpu.scan.TileMap`)."""
     lib = load()
     assert lib is not None
     G, W = num_blocks, words_per_segment
@@ -217,6 +222,7 @@ def pack_rows(
     active = np.empty((G, 8, 128), dtype=np.int32)
     if n_threads <= 0:
         n_threads = min(4, os.cpu_count() or 1)
+    spr, ntc = tile if tile is not None else (0, 0)
     rc = lib.compeg_pack_rows(
         scan,
         len(scan),
@@ -228,6 +234,8 @@ def pack_rows(
         words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         active.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         n_threads,
+        spr,
+        ntc,
     )
     if rc != 0:
         from ..errors import bail

@@ -333,10 +333,15 @@ int64_t pack_segment_row(const uint8_t* scan, SegSpan span, uint32_t* row,
 // here are ~3x faster than packing the strided device layout on the host).
 //   words:  buffer of G*1024*W u32 (caller allocates; zero-filled here)
 //   active: buffer of G*1024 i32
+//   tile_spr/tile_ntc: raster-tiled slot assignment (scan.py TileMap) —
+//     segment s goes to row ((tr*ntc + tc)*8 + su)*128 + lane with
+//     mr = s/spr, sc = s%spr, tr = mr/8, su = mr%8, tc = sc/128,
+//     lane = sc%128. Zero means linear (row = s).
 // Returns 0, or -2 segment overflow, -3 interval count mismatch.
 int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
                      int64_t len, int64_t expected, int32_t W, int32_t G,
-                     uint32_t* words, int32_t* active, int32_t n_threads) {
+                     uint32_t* words, int32_t* active, int32_t n_threads,
+                     int32_t tile_spr, int32_t tile_ntc) {
   if (len <= 0 || offset < 0 || offset + len > data_len) return -1;
   const uint8_t* scan = data + offset;
 
@@ -373,6 +378,13 @@ int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
   const int64_t total = static_cast<int64_t>(G) * kSegsPerBlock;
   std::memset(active, 0, sizeof(int32_t) * total);
 
+  const bool tiled = tile_spr > 0 && tile_ntc > 0;
+  if (tiled) {
+    // Padding rows are scattered through the buffer under the tiled
+    // permutation; zero everything up front (rows overwrite their span).
+    std::memset(words, 0, sizeof(uint32_t) * total * W);
+  }
+
   int rc = 0;
   std::vector<int> rcs(nt, 0);
   int64_t chunk = (nseg + nt - 1) / nt;
@@ -380,18 +392,25 @@ int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
     // pack_segment_row zeroes each row's padding tail, so no bulk memset.
     int64_t lo = t * chunk, hi = std::min<int64_t>(nseg, lo + chunk);
     for (int64_t s = lo; s < hi; s++) {
-      if (pack_segment_row(scan, spans[s], words + s * W, W) < 0) {
+      int64_t row = s;
+      if (tiled) {
+        const int64_t mr = s / tile_spr, sc = s % tile_spr;
+        row = (((mr >> 3) * tile_ntc + (sc >> 7)) * kSublanes + (mr & 7)) *
+                  kLanes +
+              (sc & 127);
+      }
+      if (row >= total || pack_segment_row(scan, spans[s], words + row * W, W) < 0) {
         rcs[t] = -2;
         return;
       }
-      active[s] = 1;
+      active[row] = 1;
     }
   };
   Pool::instance().run(nt, work);
   for (int r : rcs)
     if (r) rc = r;
-  // Zero padding rows.
-  if (nseg < total)
+  // Zero padding rows (contiguous tail in the linear layout).
+  if (!tiled && nseg < total)
     std::memset(words + nseg * W, 0, sizeof(uint32_t) * (total - nseg) * W);
   return rc;
 }

@@ -188,6 +188,52 @@ def _extend(v, s):
 
 
 # ---------------------------------------------------------------------------
+# Shared per-DU decode steps (used by this kernel AND ops/fused.py — one
+# implementation of the bit-window + Huffman + DC flow, two AC commit
+# strategies on top).
+# ---------------------------------------------------------------------------
+
+
+def make_symbol_decoder(words, W):
+    """Build the per-step symbol decoder over a block's word rows.
+
+    The returned ``decode_symbol(tc, hi, lo, nbits, widx, mask, nmag)``
+    refills the window, canonically decodes one code, and extracts the
+    ``nmag(value)``-bit magnitude at window offset ``ln``, consuming
+    code+magnitude in a single advance. Masked lanes neither fetch nor
+    consume."""
+
+    def decode_symbol(tc, hi, lo, nbits, widx, mask, nmag):
+        hi, lo, nbits, widx = _refill(words, hi, lo, nbits, widx, W, mask)
+        value, ln = _decode_code(tc, hi)
+        s = nmag(value)
+        # Magnitude bits live at window offset ln: shift them down and
+        # mask. ln + s <= 31 so a single consume covers both.
+        mag = jax.lax.shift_right_logical(
+            hi, (32 - (ln + s)).astype(U32)
+        ).astype(I32) & (jax.lax.shift_left(jnp.ones_like(s), s) - 1)
+        hi, lo, nbits = _consume(hi, lo, nbits, jnp.where(mask, ln + s, 0))
+        return value, s, mag, hi, lo, nbits, widx
+
+    return decode_symbol
+
+
+def decode_dc(decode_symbol, dctab, dp_s, comp, act, hi, lo, nbits, widx):
+    """One DU's DC coefficient: category + EXTEND + predictor update.
+
+    The DC magnitude clamp to 15 bits keeps corrupt tables from driving the
+    combined consume past 31 bits (legal 8-bit baseline categories are <=11).
+    Returns the committed DC value (predictor, masked to active lanes)."""
+    _, ssss, v, hi, lo, nbits, widx = decode_symbol(
+        dctab, hi, lo, nbits, widx, act, lambda val: jnp.minimum(val, 15)
+    )
+    diff = _extend(v, ssss)
+    dp = dp_s[comp] + jnp.where(act, diff, 0)
+    dp_s[comp] = dp
+    return jnp.where(act, dp, 0), hi, lo, nbits, widx
+
+
+# ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
 
@@ -222,37 +268,17 @@ def _make_kernel(plan: EntropyPlan):
         # short final interval, and keeps the kernel shard-position-agnostic.
         act = m < segmcus_ref[0]
 
-        def decode_symbol(tc, hi, lo, nbits, widx, mask, nmag):
-            """Refill + decode one (code + nmag(value)-bit magnitude) pair
-            on lanes in ``mask``; masked lanes neither fetch nor consume.
-            Returns (value, magnitude) having consumed code+magnitude bits
-            in a single window advance."""
-            hi, lo, nbits, widx = _refill(words, hi, lo, nbits, widx, W, mask)
-            value, ln = _decode_code(tc, hi)
-            s = nmag(value)
-            # Magnitude bits live at window offset ln: shift them down and
-            # mask. ln + s <= 31 so a single consume covers both.
-            mag = jax.lax.shift_right_logical(
-                hi, (32 - (ln + s)).astype(U32)
-            ).astype(I32) & (jax.lax.shift_left(jnp.ones_like(s), s) - 1)
-            hi, lo, nbits = _consume(hi, lo, nbits, jnp.where(mask, ln + s, 0))
-            return value, s, mag, hi, lo, nbits, widx
+        decode_symbol = make_symbol_decoder(words, W)
 
         for slot, comp in enumerate(plan.du_to_comp):
             dctab = plan.dc[comp]
             actab = plan.ac[comp]
 
             # ---- DC coefficient ----------------------------------------
-            # DC magnitude clamp to 15 bits: legal 8-bit baseline categories
-            # are <=11; the clamp keeps corrupt tables from driving the
-            # combined consume past 31 bits.
-            _, ssss, v, hi, lo, nbits, widx = decode_symbol(
-                dctab, hi, lo, nbits, widx, act, lambda val: jnp.minimum(val, 15)
+            dc, hi, lo, nbits, widx = decode_dc(
+                decode_symbol, dctab, dp_s, comp, act, hi, lo, nbits, widx
             )
-            diff = _extend(v, ssss)
-            dp = dp_s[comp] + jnp.where(act, diff, 0)
-            dp_s[comp] = dp
-            out_ref[0, 0, slot, 0] = jnp.where(act, dp, 0)
+            out_ref[0, 0, slot, 0] = dc
 
             # ---- AC coefficients: position-synchronized commit loop ----
             # Pending state: nextpos/nextval hold each lane's next committed

@@ -53,6 +53,91 @@ def global_mesh(n_seq: int = 1):
     return make_mesh(n // n_seq, n_seq)
 
 
+def dryrun_multiprocess(
+    process_id: int,
+    num_processes: int = 2,
+    coordinator_address: str = "localhost:12355",
+    local_devices: int = 4,
+) -> None:
+    """One worker of a multi-process (multi-controller) dryrun.
+
+    Exercises the real multi-host code path — ``jax.distributed.initialize``,
+    a global mesh spanning processes, ``make_array_from_process_local_data``
+    feeding per-process shards, and a cross-process ``shard_map`` decode —
+    on ``local_devices`` virtual CPU devices per process. The launcher
+    (``tools/dryrun_multiproc.py``) spawns ``num_processes`` of these; the
+    same topology with real chips is a TPU pod slice with DP over DCN.
+
+    Must run in a fresh process: caller sets
+    ``XLA_FLAGS=--xla_force_host_platform_device_count=<local_devices>``
+    before importing jax.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    init_distributed(coordinator_address, num_processes, process_id)
+    n_global = num_processes * local_devices
+    assert jax.device_count() == n_global, jax.device_count()
+    assert len(jax.local_devices()) == local_devices
+
+    from ..encoder import encode
+    from ..metadata import analyze
+    from ..pipeline import FrameGeometry
+    from . import sharding as SH
+
+    n_seq = 2
+    mesh = global_mesh(n_seq=n_seq)
+    n_data = n_global // n_seq
+
+    h, w = 32, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 7 % 256, yy * 5 % 256, (xx + yy) % 256], axis=-1
+    ).astype(np.uint8)
+    data = encode(img, sampling="422", quality=85, restart_interval_mcus=1)
+    meta = analyze(data)
+    bf = SH.prepare_banded(meta, n_seq)
+
+    # Global batch of n_data identical frames, each process materializing
+    # only the frames its local data-slots own.
+    local_frames = n_data // num_processes
+    words_l, seg_l = SH.stack_banded([bf] * local_frames)
+    spec = P("data", "seq")
+    words_g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), words_l
+    )
+    seg_g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), seg_l
+    )
+
+    out = SH.decode_batch_sharded(
+        words_g,
+        seg_g,
+        jnp.asarray(bf.qz_by_slot),
+        bf.plan,
+        mesh=mesh,
+        geom=FrameGeometry.from_image(meta),
+        band_rows=bf.band_rows,
+        interpret=True,
+    )
+    out.block_until_ready()
+    assert out.shape == (n_data, h, w, 3), out.shape
+
+    # Each process checks the frames it holds against the CPU oracle.
+    from .. import golden
+
+    want = golden.decode_rgb(data)
+    for shard in out.addressable_shards:
+        got = np.asarray(shard.data)  # [frames_l, rows_l, W, 3]
+        ref = want[shard.index[1]]  # same rows of the (identical) frame
+        assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1, (
+            process_id,
+            shard.index,
+        )
+    jax.distributed.shutdown()
+
+
 def measure_scaling(
     decode_fn,
     batch_for,

@@ -18,6 +18,15 @@ exchanged over ICI with ``jax.lax.ppermute`` (see ops/color.py fancy mode).
 Everything here runs identically on a real TPU mesh and on a
 ``--xla_force_host_platform_device_count`` virtual CPU mesh (interpret mode),
 which is how the multi-chip tests run (SURVEY.md §4 tier d).
+
+Note on the XLA ``algebraic_simplifier ... circular simplification loop``
+E-log seen on virtual-mesh runs: bisection (r2) shows it fires only for the
+*interpret-mode* Pallas kernel's HLO expansion inside the SPMD partitioner's
+simplifier pipeline — the same kernel compiled outside shard_map is clean,
+and so is the band-assembly math under shard_map. Compilation completes and
+results are exact; on real TPUs the kernel is a Mosaic custom call, so the
+oscillating HLO pattern never reaches the partitioner. Benign, virtual-mesh
+only.
 """
 
 from __future__ import annotations

@@ -31,7 +31,12 @@ from .ops import idct as D
 
 @dataclass(frozen=True)
 class FrameGeometry:
-    """Static per-compile decode geometry."""
+    """Static per-compile decode geometry.
+
+    ``tiling`` is ``(n_tr, n_tc)`` when the scan words were packed with the
+    raster-tiled slot assignment (:class:`~compeg_tpu.scan.TileMap`), which
+    the fused path's assembly exploits; ``None`` means linear packing.
+    """
 
     width: int
     height: int
@@ -40,9 +45,10 @@ class FrameGeometry:
     samplings: Tuple[Tuple[int, int], ...]
     du_to_comp: Tuple[int, ...]
     ri: int
+    tiling: Optional[Tuple[int, int]] = None
 
     @staticmethod
-    def from_image(img: ImageData) -> "FrameGeometry":
+    def from_image(img: ImageData, tiling: Optional[Tuple[int, int]] = None) -> "FrameGeometry":
         return FrameGeometry(
             width=img.width,
             height=img.height,
@@ -51,6 +57,7 @@ class FrameGeometry:
             samplings=tuple((c.h_sample, c.v_sample) for c in img.components),
             du_to_comp=tuple(img.du_to_comp),
             ri=img.restart_interval,
+            tiling=tiling,
         )
 
 
@@ -123,7 +130,7 @@ def decode_frame_fused(
 
     blocks = F.fused_decode_blocks(
         _as_blocks(words), seg_mcus, idct_l, plan, geom.samplings,
-        retained, interpret, exact_idct,
+        retained, interpret, exact_idct, tiled=geom.tiling is not None,
     )
     return F.assemble_image(blocks, geom)
 
@@ -255,8 +262,10 @@ class Decoder:
                 f"{expected} segments); exceeds the {self.max_device_bytes >> 20}"
                 " MiB budget — fall back to a software decoder"
             )
+        g_lin = -(-expected // S.SEGMENTS_PER_BLOCK)
+        tile = self._tile_map(img, g_lin)
+        g = tile.num_blocks if tile is not None else g_lin
         if native.available():
-            g = -(-expected // S.SEGMENTS_PER_BLOCK)
             w = self._cached_width
             words = active = None
             with stage_timer("preprocess"):
@@ -265,10 +274,12 @@ class Decoder:
                     if img.source is not None
                     else (img.scan_data, 0, len(img.scan_data))
                 )
+                ntile = (tile.segs_per_row, tile.n_tc) if tile is not None else None
                 if w is not None:
                     try:
                         words, active = native.pack_rows(
-                            src, expected, w, g, offset=off, length=ln
+                            src, expected, w, g, offset=off, length=ln,
+                            tile=ntile,
                         )
                     except CompegError:
                         words = None  # overflow or count change: re-measure
@@ -281,35 +292,66 @@ class Decoder:
                     w = self._bucket_width(S._words_per_segment(mx))
                     self._cached_width = w
                     words, active = native.pack_rows(
-                        src, expected, w, g, offset=off, length=ln
+                        src, expected, w, g, offset=off, length=ln, tile=ntile
                     )
             dscan = S.DeviceScan(words, active, expected, w)
         else:
             # Pure-Python fallback path (converted to contiguous rows).
             intervals = S.split_intervals(img.scan_data, expected)
             needed = S._words_per_segment(max(len(s) for s in intervals))
-            blk = S.to_device_layout(intervals, self._bucket_width(needed))
+            blk = S.to_device_layout(
+                intervals,
+                self._bucket_width(needed),
+                slot_of_segment=(
+                    tile.slot_of_segment(img.height_mcus) if tile is not None else None
+                ),
+                num_blocks=g if tile is not None else None,
+            )
             rows = np.ascontiguousarray(
                 blk.words.transpose(0, 2, 3, 1).reshape(-1, blk.words_per_segment)
             )
             dscan = S.DeviceScan(rows, blk.active, blk.num_segments,
                                  blk.words_per_segment)
         plan = E.plan_from_image(img, dscan)
-        key = (img.restart_interval, img.total_mcus, dscan.num_blocks)
+        tiling = (tile.n_tr, tile.n_tc) if tile is not None else None
+        key = (img.restart_interval, img.total_mcus, dscan.num_blocks, tiling)
         seg_mcus = self._segmcus_cache.get(key)
         if seg_mcus is None:
-            seg_mcus = jax.device_put(
-                seg_mcu_counts(dscan.active, img.restart_interval, img.total_mcus)
-            )
+            if tile is not None:
+                # Every tiled slot maps to a full-Ri segment (Ri divides the
+                # MCU-row width), so the count is just Ri * active.
+                seg_mcus = jax.device_put(
+                    (img.restart_interval * dscan.active).astype(np.int32)
+                )
+            else:
+                seg_mcus = jax.device_put(
+                    seg_mcu_counts(dscan.active, img.restart_interval, img.total_mcus)
+                )
             self._segmcus_cache[key] = seg_mcus
         return PreparedFrame(
             words=np.asarray(dscan.words, dtype=np.uint32),
             seg_mcus=seg_mcus,
             qz_by_slot=D.qz_by_slot_array(img),
             plan=plan,
-            geom=FrameGeometry.from_image(img),
+            geom=FrameGeometry.from_image(img, tiling),
             image=img,
         )
+
+    def _tile_map(self, img: ImageData, g_lin: int) -> Optional[S.TileMap]:
+        """Raster-tiled slot assignment when it applies (fused path, Ri
+        divides the MCU-row width, padding overhead bounded)."""
+        if not self.fused:
+            return None  # the staged pipeline assembles from linear slots
+        tile = S.TileMap.for_geometry(
+            img.height_mcus, img.width_mcus, img.restart_interval
+        )
+        if tile is None:
+            return None
+        # Degenerate aspect ratios (one MCU row spanning few lanes, etc.)
+        # can pad far beyond the linear layout; keep the transfer bounded.
+        if tile.num_blocks > max(g_lin + g_lin // 4, g_lin + 1):
+            return None
+        return tile
 
     def _stream_consts(self, pf: PreparedFrame) -> jax.Array:
         key = (

@@ -37,6 +37,64 @@ SEGMENTS_PER_BLOCK = SUBLANES * LANES
 GUARD_WORDS = 0
 
 
+@dataclass(frozen=True)
+class TileMap:
+    """Raster-tiled segment->(block, sublane, lane) assignment.
+
+    Linear assignment (segment ``i`` -> slot ``i``) makes the raster MCU
+    coordinate a non-separable function of (block, sublane, lane), forcing
+    image assembly through a 64-byte-granularity XLA transpose (~80 GB/s).
+    Tiling instead makes each 1024-segment block an 8-MCU-row x 128-segment
+    raster rectangle:
+
+        block g = (tr, tc)   covers MCU rows [tr*8, tr*8+8)
+        sublane s            -> MCU row tr*8 + s
+        lane l               -> segment column tc*128 + l
+                                (MCU columns [(tc*128+l)*ri, +ri))
+
+    so raster row is a function of (tr, s) alone and raster column of
+    (tc, l) alone — and assembly becomes two near-bandwidth XLA copies plus
+    a free reshape (ops/fused.assemble_image_tiled). Valid whenever ri
+    divides the MCU-row width (segments never wrap a row boundary).
+    """
+
+    n_tr: int  # tile rows: ceil(height_mcus / 8)
+    n_tc: int  # tile cols: ceil((width_mcus/ri) / 128)
+    segs_per_row: int  # width_mcus // ri
+
+    @property
+    def num_blocks(self) -> int:
+        return self.n_tr * self.n_tc
+
+    @staticmethod
+    def for_geometry(height_mcus: int, width_mcus: int, ri: int) -> Optional["TileMap"]:
+        if ri <= 0 or width_mcus % ri != 0:
+            return None  # segments wrap MCU rows: not separable
+        spr = width_mcus // ri
+        return TileMap(
+            n_tr=-(-height_mcus // SUBLANES),
+            n_tc=-(-spr // LANES),
+            segs_per_row=spr,
+        )
+
+    def slot_of_segment(self, height_mcus: int) -> np.ndarray:
+        """[num_segments] -> packed row index (the host pack permutation)."""
+        seg = np.arange(self.segs_per_row * height_mcus, dtype=np.int64)
+        mr, sc = seg // self.segs_per_row, seg % self.segs_per_row
+        tr, s = mr // SUBLANES, mr % SUBLANES
+        tc, lane = sc // LANES, sc % LANES
+        return (((tr * self.n_tc + tc) * SUBLANES + s) * LANES + lane)
+
+    def active_slots(self, height_mcus: int) -> np.ndarray:
+        """[G, 8, 128] int32 — 1 where the slot maps to a real segment."""
+        g = np.arange(self.num_blocks)[:, None, None]
+        s = np.arange(SUBLANES)[None, :, None]
+        lane = np.arange(LANES)[None, None, :]
+        mr = (g // self.n_tc) * SUBLANES + s
+        sc = (g % self.n_tc) * LANES + lane
+        return ((mr < height_mcus) & (sc < self.segs_per_row)).astype(np.int32)
+
+
 def split_intervals(scan: bytes, expected: int) -> List[bytes]:
     """Destuff and split the scan into per-restart-interval byte strings.
 
@@ -121,12 +179,17 @@ class DeviceScan:
 
 
 def to_device_layout(
-    intervals: List[bytes], words_per_segment: Optional[int] = None
+    intervals: List[bytes],
+    words_per_segment: Optional[int] = None,
+    slot_of_segment: Optional[np.ndarray] = None,
+    num_blocks: Optional[int] = None,
 ) -> DeviceScan:
     """Lay segments out as ``[G, W, 8, 128]`` blocks of MSB-first u32 words.
 
     ``words_per_segment`` can be forced (bucketed batching) as long as it
-    covers the longest segment.
+    covers the longest segment. ``slot_of_segment`` packs segment ``i`` into
+    row ``slot_of_segment[i]`` instead of row ``i`` (the raster-tiled layout,
+    :class:`TileMap`); ``num_blocks`` then gives the padded block count.
     """
     nseg = len(intervals)
     max_bytes = max(len(s) for s in intervals)
@@ -138,17 +201,27 @@ def to_device_layout(
                 f"longest segment ({w} words needed)"
             )
         w = words_per_segment
-    g = -(-nseg // SEGMENTS_PER_BLOCK)
+    if slot_of_segment is None:
+        g = -(-nseg // SEGMENTS_PER_BLOCK)
+        rows = range(nseg)
+    else:
+        assert num_blocks is not None and len(slot_of_segment) == nseg
+        g = num_blocks
+        rows = slot_of_segment
     byte_plane = np.zeros((g * SEGMENTS_PER_BLOCK, w * 4), dtype=np.uint8)
-    for i, seg in enumerate(intervals):
-        byte_plane[i, : len(seg)] = np.frombuffer(seg, dtype=np.uint8)
+    for i, row in zip(range(nseg), rows):
+        seg = intervals[i]
+        byte_plane[row, : len(seg)] = np.frombuffer(seg, dtype=np.uint8)
     words = byte_plane.reshape(g * SEGMENTS_PER_BLOCK, w, 4).astype(np.uint32)
     words = (
         (words[..., 0] << 24) | (words[..., 1] << 16) | (words[..., 2] << 8) | words[..., 3]
     )
     words = words.reshape(g, SUBLANES, LANES, w).transpose(0, 3, 1, 2)
     active = np.zeros(g * SEGMENTS_PER_BLOCK, dtype=np.int32)
-    active[:nseg] = 1
+    if slot_of_segment is None:
+        active[:nseg] = 1
+    else:
+        active[slot_of_segment] = 1
     active = active.reshape(g, SUBLANES, LANES)
     return DeviceScan(
         words=np.ascontiguousarray(words),

@@ -77,3 +77,19 @@ def test_init_distributed_noop():
 
     init_distributed()  # single-process: must be a no-op
     init_distributed(num_processes=1)
+
+
+def test_multiprocess_dryrun():
+    """Real 2-process jax.distributed job: global mesh across processes,
+    make_array_from_process_local_data, cross-process shard_map decode,
+    per-process oracle check (tools/dryrun_multiproc.py)."""
+    env = dict(os.environ)
+    r = subprocess.run(
+        [sys.executable, "tools/dryrun_multiproc.py", "--port", "12391"],
+        capture_output=True,
+        timeout=570,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env=env,
+    )
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert b"multiproc dryrun: OK" in r.stdout

@@ -28,6 +28,19 @@ def test_batch_matches_single(test_image):
         assert diff.max() <= 1
 
 
+def test_batch_staged_path_matches_single(test_image):
+    """fused=False must propagate to prepare(): the staged batch decode
+    assumes linear segment-major slots (no raster-tiled permutation)."""
+    frames = frames_of(test_image, n=2, h=16, w=16)
+    bdec = BatchDecoder(interpret=True, fused=False)
+    pfs = bdec.prepare_batch(frames)
+    assert all(pf.geom.tiling is None for pf in pfs)
+    out = bdec.decode(frames)
+    for i, f in enumerate(frames):
+        want = golden.decode_rgb(f)
+        assert np.abs(out[i].astype(int) - want.astype(int)).max() <= 1
+
+
 def test_batch_rejects_mixed_geometry(test_image):
     a = encoder.encode(test_image(16, 32), sampling="422", restart_interval_mcus=1)
     b = encoder.encode(test_image(16, 48), sampling="422", restart_interval_mcus=1)

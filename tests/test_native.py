@@ -96,3 +96,25 @@ def test_pack_rows_matches_python(kind, test_image):
     # Row layout transposes into the block layout exactly.
     blocks = rows.reshape(g, 8, 128, w).transpose(0, 3, 1, 2)
     assert np.array_equal(blocks, py.words)
+
+
+def test_pack_rows_tiled_matches_python(test_image):
+    """The C++ tiled permutation must agree with TileMap.slot_of_segment."""
+    data = encoder.encode(
+        test_image(40, 64, "noise"), sampling="444", quality=92, restart_interval_mcus=1
+    )
+    img = scan_of(data)
+    expected = img.total_restart_intervals
+    tm = S.TileMap.for_geometry(img.height_mcus, img.width_mcus, img.restart_interval)
+    segs = S.split_intervals(img.scan_data, expected)
+    w = S._words_per_segment(max(len(s) for s in segs))
+    rows, active = native.pack_rows(
+        img.scan_data, expected, w, tm.num_blocks,
+        tile=(tm.segs_per_row, tm.n_tc),
+    )
+    slots = tm.slot_of_segment(img.height_mcus)
+    py = S.to_device_layout(segs, w, slot_of_segment=slots,
+                            num_blocks=tm.num_blocks)
+    assert np.array_equal(active, py.active)
+    blocks = rows.reshape(tm.num_blocks, 8, 128, w).transpose(0, 3, 1, 2)
+    assert np.array_equal(blocks, py.words)

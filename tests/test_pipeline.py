@@ -156,3 +156,25 @@ def test_reference_parity_mode(test_image):
     # retained=32 is actually in effect, not silently ignored).
     full = golden.decode_rgb(data, idct="int")
     assert not np.array_equal(want, full)
+
+
+def test_tiled_vs_linear_layout_identical(test_image):
+    """The raster-tiled slot assignment (fast assembly) and the linear
+    layout must produce byte-identical pixels."""
+    from compeg_tpu import scan as S
+
+    img = test_image(24, 48, "noise")
+    data = encoder.encode(img, sampling="420", quality=88, restart_interval_mcus=1)
+    dec_t = Decoder(interpret=True, exact_idct=True)
+    out_t = dec_t.decode(data)
+    pf = dec_t.prepare(data)
+    assert pf.geom.tiling is not None  # tiled path actually engaged
+    dec_l = Decoder(interpret=True, exact_idct=True)
+    dec_l._tile_map = lambda *a, **k: None  # force linear
+    out_l = dec_l.decode(data)
+    assert pf_linear_tiling_is_none(dec_l, data)
+    assert np.array_equal(out_t, out_l)
+
+
+def pf_linear_tiling_is_none(dec, data):
+    return dec.prepare(data).geom.tiling is None

@@ -88,3 +88,45 @@ def test_exact_width_no_guard():
     segs = [b"\x01" * 8]  # exactly 2 words of payload
     d = S.to_device_layout(segs)
     assert d.words_per_segment == 2  # no guard words (refill clamps)
+
+
+def test_tile_map_slot_math():
+    """TileMap slot assignment: separable raster coordinates."""
+    tm = S.TileMap.for_geometry(270, 240, 1)  # the 4K 4:2:2 geometry
+    assert (tm.n_tr, tm.n_tc, tm.segs_per_row) == (34, 2, 240)
+    slots = tm.slot_of_segment(270)
+    assert slots.shape == (270 * 240,)
+    assert len(np.unique(slots)) == slots.size  # injective
+    # Segment at MCU (row 9, col 130): tr=1, s=1, tc=1, lane=2.
+    seg = 9 * 240 + 130
+    assert slots[seg] == (((1 * 2 + 1) * 8 + 1) * 128 + 2)
+    act = tm.active_slots(270)
+    assert act.shape == (68, 8, 128)
+    assert act.sum() == 270 * 240
+    # Active exactly at assigned slots.
+    flat = np.zeros(68 * 1024, np.int32)
+    flat[slots] = 1
+    assert np.array_equal(act.reshape(-1), flat)
+
+
+def test_tile_map_fallback_conditions():
+    assert S.TileMap.for_geometry(10, 9, 2) is None  # 2 does not divide 9
+    tm = S.TileMap.for_geometry(10, 8, 2)
+    assert tm is not None and tm.segs_per_row == 4
+
+
+def test_to_device_layout_tiled_permutation():
+    tm = S.TileMap.for_geometry(16, 130, 1)
+    nseg = 16 * 130
+    rng = np.random.default_rng(3)
+    segs = [rng.integers(0, 255, size=5, dtype=np.uint8).tobytes()
+            for _ in range(nseg)]
+    slots = tm.slot_of_segment(16)
+    d = S.to_device_layout(segs, slot_of_segment=slots, num_blocks=tm.num_blocks)
+    assert d.num_blocks == tm.num_blocks == 4  # 2 tile rows x 2 tile cols
+    for seg_i in [0, 129, 130, 8 * 130 + 5, nseg - 1]:
+        slot = slots[seg_i]
+        g, s, lane = slot // 1024, (slot % 1024) // 128, slot % 128
+        col = d.words[g, :, s, lane]
+        assert np.array_equal(col, S.pack_words(segs[seg_i], d.words_per_segment)), seg_i
+    assert np.array_equal(d.active, tm.active_slots(16))

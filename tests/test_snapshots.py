@@ -76,6 +76,50 @@ def _extraneous():
     return encoder.encode(img(8, 8), sampling="gray") + b"GARBAGE-TRAILER"
 
 
+def _non_interleaved():
+    """Baseline with per-component scans (Ns=1 each) — the non-interleaved
+    MCU organization the reference's corpus covers (src/file/tests.rs:69-99);
+    parses fully, rejected by the analyzer envelope."""
+    dqt = seg(0xDB, bytes([0]) + bytes(range(1, 65)))
+    sof0 = seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([3])
+               + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes([0, 1] + [0] * 14) + bytes([0]))
+    scans = b"".join(
+        seg(0xDA, bytes([1, cid, 0x00, 0, 63, 0])) + b"\x3C" for cid in (1, 2, 3)
+    )
+    return b"\xFF\xD8" + dqt + sof0 + dht + scans + b"\xFF\xD9"
+
+
+def _partial_progressive():
+    """Progressive stream cut off after its first scan (the reference's
+    partial_progressive.jpg case): parser must surface what exists."""
+    full = _progressive3()
+    cut = full.find(b"\xFF\xDA", full.find(b"\xFF\xDA") + 2)
+    return full[:cut]
+
+
+def _progressive_missing_dc():
+    """Progressive with an AC scan but no prior DC scan (reference's
+    progressive-missing-dc.jpg): structurally parseable."""
+    dqt = seg(0xDB, bytes([0]) + bytes(range(1, 65)))
+    sof2 = seg(0xC2, bytes([8]) + struct.pack(">HH", 16, 16) + bytes([1])
+               + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x10]) + bytes([0, 1] + [0] * 14) + bytes([1]))
+    sos_ac = seg(0xDA, bytes([1, 1, 0x00, 1, 5, 0])) + b"\x2A"
+    return b"\xFF\xD8" + dqt + sof2 + dht + sos_ac + b"\xFF\xD9"
+
+
+def _progressive_missing_ac():
+    """Progressive with DC scan only, AC band never coded (reference's
+    progressive-missing-ac.jpg)."""
+    dqt = seg(0xDB, bytes([0]) + bytes(range(1, 65)))
+    sof2 = seg(0xC2, bytes([8]) + struct.pack(">HH", 16, 16) + bytes([1])
+               + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes([0, 1] + [0] * 14) + bytes([0]))
+    sos_dc = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 1])) + b"\x55"
+    return b"\xFF\xD8" + dqt + sof2 + dht + sos_dc + b"\xFF\xD9"
+
+
 CORPUS = {
     "gradient_422_ri2": lambda: encoder.encode(
         img(16, 32), sampling="422", quality=85, restart_interval_mcus=2
@@ -97,6 +141,10 @@ CORPUS = {
     ),
     "no_app0": lambda: encoder.encode(img(8, 16), sampling="422", app0=False),
     "progressive3": _progressive3,
+    "non_interleaved": _non_interleaved,
+    "partial_progressive": _partial_progressive,
+    "progressive_missing_dc": _progressive_missing_dc,
+    "progressive_missing_ac": _progressive_missing_ac,
     "qtables_16bit": _qtables16,
     "rgb_ids": _rgb_ids,
     "extraneous_data": _extraneous,

@@ -101,6 +101,48 @@ def tree_interleave_kernel(in_ref, out_ref):
         out_ref[0, :, r] = vs[0]
 
 
+def stack_rows_kernel(in_ref, out_ref):
+    # The full tiled-epilogue candidate: select-merge the X vectors per r
+    # (as C), then interleave the (segment-row s, pixel-row r) sublane dims
+    # with one stack+reshape relayout and store the whole raster tile.
+    kk = jax.lax.broadcasted_iota(jnp.int32, (S, L * X), 1)
+    accs = []
+    for r in range(R):
+        acc = jnp.zeros((S, L * X), U32)
+        for x in range(X):
+            v = in_ref[0, :, r, x]  # [S, L]
+            rep = jnp.broadcast_to(v[:, :, None], (S, L, X)).reshape(S, L * X)
+            acc = jnp.where((kk & (X - 1)) == x, rep, acc)
+        accs.append(acc)
+    v = jnp.stack(accs, axis=1).reshape(S * R, L * X)  # rows = s*R + r
+    out_ref[0] = v
+
+
+def strided_sublane_store_kernel(in_ref, out_ref):
+    # As stack_rows but let the STORE do the (s, r) interleave: each per-r
+    # [S, TW] row set stores to sublanes r, r+R, ... (stride R).
+    kk = jax.lax.broadcasted_iota(jnp.int32, (S, L * X), 1)
+    for r in range(R):
+        acc = jnp.zeros((S, L * X), U32)
+        for x in range(X):
+            v = in_ref[0, :, r, x]
+            rep = jnp.broadcast_to(v[:, :, None], (S, L, X)).reshape(S, L * X)
+            acc = jnp.where((kk & (X - 1)) == x, rep, acc)
+        out_ref[0, pl.Slice(r, S, R), :] = acc
+
+
+def pallas_call_raster(kernel):
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[pl.BlockSpec((1, S, R, X, L), lambda g: (g, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, S * R, X * L), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, S * R, X * L), U32),
+    )(x_dev)
+
+
 def pallas_call_1(kernel):
     return pl.pallas_call(
         kernel,
@@ -157,3 +199,6 @@ if __name__ == "__main__":
     timed("E_copy_floor", lambda: pallas_call_1(copy_kernel))
     timed("C_repeat_mask", lambda: pallas_call_1(repeat_mask_kernel), check=want)
     timed("D_mosaic_transpose", lambda: pallas_call_1(mosaic_transpose_kernel), check=want)
+    timed("F_bcast_reshape", lambda: pallas_call_1(bcast_reshape_kernel), check=want)
+    timed("G_strided_store", lambda: pallas_call_1(strided_store_kernel), check=want)
+    timed("H_tree_interleave", lambda: pallas_call_1(tree_interleave_kernel), check=want)
