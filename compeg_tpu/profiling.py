@@ -76,6 +76,21 @@ def log_stats(level: int = logging.INFO) -> None:
         )
 
 
+def hard_sync(x) -> None:
+    """Force *real* completion of a device array.
+
+    On some remoted backends (the axon tunnel), ``block_until_ready`` can
+    return at enqueue-ACK rather than execution completion, which silently
+    breaks every wall-clock measurement. Reducing the array to a scalar and
+    reading the 4 bytes back cannot complete before the producing computation
+    has, so this is the reliable fence (cost: one link round trip).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    np.asarray(jnp.max(jnp.ravel(x)[:1]))
+
+
 @contextlib.contextmanager
 def device_trace(logdir: Optional[str] = None) -> Iterator[None]:
     """jax.profiler trace wrapper (XLA device timeline -> TensorBoard format);

@@ -4,16 +4,17 @@ import sys, os, time, glob, gzip, json, collections
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import jax, numpy as np
 from compeg_tpu.pipeline import Decoder
+from compeg_tpu.profiling import hard_sync
 
 data = open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "bench_assets", "bench4k.jpg"), "rb").read()
 dec = Decoder()
 pf = dec.prepare(data)
-out = dec.decode_prepared(pf); out.block_until_ready()
+out = dec.decode_prepared(pf); hard_sync(out)
 logdir = "/tmp/tr_decode_%d" % time.time()
 jax.profiler.start_trace(logdir)
 for _ in range(5):
     out = dec.decode_prepared(pf)
-out.block_until_ready()
+hard_sync(out)  # block_until_ready can ACK early through the tunnel
 jax.profiler.stop_trace()
 fs = sorted(glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True))
 d = json.load(gzip.open(fs[-1]))
