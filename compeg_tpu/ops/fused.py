@@ -61,14 +61,21 @@ def _slot_layout(samplings):
 
 def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
                        unroll: int = 4, exact_idct: bool = False,
-                       tiled: bool = False):
+                       tiled: bool = False, planes: bool = False,
+                       _ablate: str = ""):
     W = plan.words_per_segment
     dus = plan.dus_per_mcu
     mh, mw = _mcu_shape(samplings)
     layout = _slot_layout(samplings)
 
-    def kernel(words_ref, segmcus_ref, l_ref, out_ref, coeff_s,
-               hi_s, lo_s, nb_s, wi_s, dp_s):
+    def kernel(words_ref, segmcus_ref, l_ref, *out_and_scratch):
+        if planes:
+            nout = len(samplings)
+        else:
+            nout = 1
+        out_refs = out_and_scratch[:nout]
+        out_ref = out_refs[0]
+        coeff_s, hi_s, lo_s, nb_s, wi_s, dp_s = out_and_scratch[nout:]
         m = pl.program_id(1)
 
         @pl.when(m == 0)
@@ -103,6 +110,9 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
             # coefficient at its (divergent) zigzag row. Iteration count is
             # the max *symbol count* over the block — ~2.7x fewer iterations
             # than walking positions, at the price of a 64-row masked store.
+            # (A hot/cold split of the store at row 16 with a scalar any()
+            # gate measured ~1.8x SLOWER on the chip — the in-loop branch
+            # and sliced masked store cost more than the tall store saves.)
             iota_z = jax.lax.broadcasted_iota(I32, (64, SUBLANES, LANES), 0)
 
             def cond(state):
@@ -126,11 +136,15 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
                 # Lanes with nothing to write target row 64 (out of range),
                 # so the write predicate folds into the row compare.
                 wrow = jnp.where(normal & (newpos <= 63), newpos, 64)
-                pltpu.store(
-                    coeff_s.at[slot],
-                    jnp.broadcast_to(coeff[None], (64, SUBLANES, LANES)),
-                    mask=iota_z == wrow[None],
-                )
+                if _ablate == "densestore":
+                    # Budget probe: dense row-0 store, identical control flow.
+                    coeff_s[slot, 1] = coeff + wrow
+                else:
+                    pltpu.store(
+                        coeff_s.at[slot],
+                        jnp.broadcast_to(coeff[None], (64, SUBLANES, LANES)),
+                        mask=iota_z == wrow[None],
+                    )
                 # Invalid symbols (s == 0 but neither EOB nor ZRL) would
                 # leave the position unchanged forever on a corrupt stream;
                 # terminate such lanes like an EOB.
@@ -158,7 +172,9 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
         nb_s[:], wi_s[:] = nbits, widx
 
         # ---- phase 2: fused dequant+IDCT per DU slot ---------------------
-        if exact_idct:
+        if _ablate in ("noidct", "nop23"):
+            pass
+        elif exact_idct:
             # Exact-integer mode: l_ref holds the broadcast int32 quantizers
             # [DUS, 64, 8, 128]; the fixed-point Loeffler IDCT
             # (ops/int_idct.py) runs bit-identically to the golden decoder.
@@ -197,8 +213,18 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
                     coeff_s[slot, :, s, :] = p.astype(I32)
 
         # ---- phase 3: composite MCU -> packed RGBA -----------------------
+        if _ablate == "nop23":
+            # Budget probe: minimal output write (entropy phase only).
+            if tiled:
+                out_ref[0, 0, 0] = jnp.zeros((SUBLANES * mh, LANES), U32)
+            else:
+                out_ref[0, 0, 0, 0] = jnp.zeros((SUBLANES, LANES), U32)
+            return
         gray = len(samplings) == 1
         ys0, yh, yv = layout[0]
+        # Chroma color terms are shared by the 2 (4:2:2) or 4 (4:2:0) luma
+        # pixels that sample the same chroma position; memoize per position.
+        chroma_terms = {}
 
         def rgba_at(r, x):
             # luma slot + in-DU position (sampling-relative coordinates)
@@ -211,18 +237,48 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
                 cs0, ch, cv = layout[1]
                 cslot = cs0  # chroma is 1x1 in every supported sampling
                 cp = (r * cv * 8 // mh) * 8 + (x * ch * 8 // mw)
-                cb = coeff_s[cslot, cp] - 128
-                cr = coeff_s[layout[2][0], cp] - 128
-                rr = y + ((45 * cr) >> 5)
-                gg = y - ((11 * cb + 23 * cr) >> 5)
-                bb = y + ((113 * cb) >> 6)
+                if cp not in chroma_terms:
+                    cb = coeff_s[cslot, cp] - 128
+                    cr = coeff_s[layout[2][0], cp] - 128
+                    chroma_terms[cp] = (
+                        (45 * cr) >> 5,
+                        (11 * cb + 23 * cr) >> 5,
+                        (113 * cb) >> 6,
+                    )
+                tr_, tg_, tb_ = chroma_terms[cp]
+                rr = y + tr_
+                gg = y - tg_
+                bb = y + tb_
             rr = jnp.clip(rr, 0, 255)
             gg = jnp.clip(gg, 0, 255)
             bb = jnp.clip(bb, 0, 255)
             rgba = rr | (gg << 8) | (bb << 16) | jnp.int32(-16777216)
             return jax.lax.bitcast_convert_type(rgba, U32)
 
-        if tiled:
+        if planes:
+            # Per-component pixel-plane epilogue (fancy-upsampling support):
+            # no in-kernel color math; each component's pixels go out as a
+            # raster-tiled slab at the component's own resolution. The
+            # triangle-filter upsampling + color conversion then run as an
+            # XLA-fused elementwise epilogue over the assembled raster
+            # planes (ops/color.upsample_fancy_*), which the in-kernel
+            # nearest-composite cannot express (it would need neighboring
+            # MCUs from other lanes/blocks).
+            for ci, (slot0, ch, cv) in enumerate(layout):
+                wc = 8 * ch
+                rows_per = 8 * cv
+                for x in range(wc):
+                    rows = [
+                        coeff_s[
+                            slot0 + (r // 8) * ch + (x // 8),
+                            (r % 8) * 8 + (x % 8),
+                        ]
+                        for r in range(rows_per)
+                    ]
+                    out_refs[ci][0, 0, x] = jnp.stack(rows, axis=1).reshape(
+                        SUBLANES * rows_per, LANES
+                    )
+        elif tiled:
             # Raster-tiled epilogue: for each in-MCU column x, interleave the
             # mh per-pixel-row [S, L] vectors along SUBLANES (the one
             # relayout axon Mosaic compiles well — and it measures faster
@@ -245,7 +301,8 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "plan", "samplings", "retained", "interpret", "exact_idct", "tiled"
+        "plan", "samplings", "retained", "interpret", "exact_idct", "tiled",
+        "_ablate",
     ),
 )
 def fused_decode_blocks(
@@ -259,6 +316,7 @@ def fused_decode_blocks(
     interpret: bool = False,
     exact_idct: bool = False,
     tiled: bool = False,
+    _ablate: str = "",
 ) -> jax.Array:
     """Full fused decode, packed RGBA (r | g<<8 | b<<16 | a<<24) u32.
 
@@ -272,8 +330,9 @@ def fused_decode_blocks(
     # Interpret mode (tests) pays per-op tracing/execution costs; the unroll
     # only helps compiled TPU execution.
     kernel = _make_fused_kernel(plan, samplings, retained,
-                                unroll=1 if interpret else 4,
-                                exact_idct=exact_idct, tiled=tiled)
+                                unroll=1 if interpret else 8,
+                                exact_idct=exact_idct, tiled=tiled,
+                                _ablate=_ablate)
     if tiled:
         out_specs = pl.BlockSpec(
             (1, 1, mw, SUBLANES * mh, LANES),
@@ -356,6 +415,131 @@ def assemble_image_tiled(slabs: jax.Array, geom) -> jax.Array:
     z = z.transpose(0, 4, 1, 5, 2, 3)  # [n_tr, RT, n_tc, L, RI, mw]
     img = z.reshape(n_tr * RT, n_tc * L * RI * mw)
     return img[: geom.height, : geom.width]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "plan", "samplings", "retained", "interpret", "exact_idct",
+    ),
+)
+def fused_decode_planes(
+    words: jax.Array,  # [G, W, 8, 128] uint32
+    seg_mcus: jax.Array,  # [G, 8, 128] int32
+    idct_l: jax.Array,
+    plan: EntropyPlan,
+    samplings: Tuple[Tuple[int, int], ...],
+    retained: int = 64,
+    interpret: bool = False,
+    exact_idct: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Fused decode to per-component pixel planes (raster-tiled slabs).
+
+    Returns one int32 slab ``[G, RI, 8*h, SUBLANES*8*v, 128]`` per component
+    (rows are raster rows of the block's 8-MCU-row tile at the component's
+    resolution). Requires the raster-tiled slot assignment. This is the
+    fast path for fancy (triangle-filter) chroma upsampling, which needs
+    raster-space neighbors and therefore cannot composite in-kernel."""
+    G = plan.num_blocks
+    W = plan.words_per_segment
+    dus = plan.dus_per_mcu
+    kernel = _make_fused_kernel(plan, samplings, retained,
+                                unroll=1 if interpret else 8,
+                                exact_idct=exact_idct, tiled=True,
+                                planes=True)
+    out_specs = []
+    out_shape = []
+    for (h, v) in samplings:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, 8 * h, SUBLANES * 8 * v, LANES),
+                lambda g, m: (g, m, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct(
+                (G, plan.ri, 8 * h, SUBLANES * 8 * v, LANES), I32
+            )
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(G, plan.ri),
+        in_specs=[
+            pl.BlockSpec(
+                (1, W, SUBLANES, LANES), lambda g, m: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, SUBLANES, LANES), lambda g, m: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((dus, 64, SUBLANES, LANES), I32),
+            pltpu.VMEM((SUBLANES, LANES), U32),
+            pltpu.VMEM((SUBLANES, LANES), U32),
+            pltpu.VMEM((SUBLANES, LANES), I32),
+            pltpu.VMEM((SUBLANES, LANES), I32),
+            pltpu.VMEM((3, SUBLANES, LANES), I32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(words, seg_mcus, idct_l)
+
+
+def assemble_plane_tiled(slab: jax.Array, geom, sh: int, sv: int) -> jax.Array:
+    """One component's tiled slabs -> its raster plane (component res).
+
+    Same single minor-pair transpose as :func:`assemble_image_tiled`; the
+    crop is to the component's *content* size (``height_mcus*8*v`` x
+    ``width_mcus*8*h``) so the triangle filter's edge clamping sees the same
+    boundary samples as the staged path (ops/color.finalize_rgb)."""
+    G, RI, wc, RT, L = slab.shape
+    n_tr, n_tc = geom.tiling
+    z = slab.reshape(n_tr, n_tc, RI, wc, RT, L)
+    z = z.transpose(0, 4, 1, 5, 2, 3)  # [n_tr, RT, n_tc, L, RI, wc]
+    img = z.reshape(n_tr * RT, n_tc * L * RI * wc)
+    return img[: geom.height_mcus * 8 * sv, : geom.width_mcus * 8 * sh]
+
+
+def finalize_fancy_planes(
+    planes: Tuple[jax.Array, ...],
+    samplings: Tuple[Tuple[int, int], ...],
+    width: int,
+    height: int,
+) -> jax.Array:
+    """Triangle-filter upsample + BT.601 over raster planes -> packed RGBA
+    u32 ``[H, W]`` (identical integer arithmetic to the staged fancy path,
+    ops/color.finalize_rgb with fancy=True)."""
+    from . import color as C
+
+    max_h = max(s[0] for s in samplings)
+    max_v = max(s[1] for s in samplings)
+    full = []
+    for plane, (sh, sv) in zip(planes, samplings):
+        fx, fy = max_h // sh, max_v // sv
+        if fy > 1:
+            plane = C.upsample_fancy_v(plane)
+        if fx > 1:
+            plane = C.upsample_fancy_h(plane)
+        full.append(plane[:height, :width])
+    if len(full) == 1:
+        y = jnp.clip(full[0], 0, 255)
+        r = g = b = y
+    else:
+        y, cb, cr = full[0], full[1] - 128, full[2] - 128
+        r = jnp.clip(y + ((45 * cr) >> 5), 0, 255)
+        g = jnp.clip(y - ((11 * cb + 23 * cr) >> 5), 0, 255)
+        b = jnp.clip(y + ((113 * cb) >> 6), 0, 255)
+    rgba = r | (g << 8) | (b << 16) | jnp.int32(-16777216)
+    return jax.lax.bitcast_convert_type(rgba, U32)
 
 
 def rgba_to_rgb_array(img_u32: np.ndarray) -> np.ndarray:

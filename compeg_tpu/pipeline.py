@@ -135,6 +135,38 @@ def decode_frame_fused(
     return F.assemble_image(blocks, geom)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "geom", "retained", "interpret", "exact_idct"),
+)
+def decode_frame_fused_fancy(
+    words: jax.Array,  # [G, W, 8, 128] uint32 (or [G*1024, W] rows)
+    seg_mcus: jax.Array,  # [G, 8, 128] int32
+    idct_l: jax.Array,
+    plan: E.EntropyPlan,
+    geom: FrameGeometry,
+    retained: int = 64,
+    interpret: bool = False,
+    exact_idct: bool = False,
+) -> jax.Array:
+    """Fused kernel with per-component plane output + triangle-filter
+    upsampling epilogue: scan words -> packed RGBA [H, W] u32. Matches the
+    staged fancy path (ops/color) bit-for-bit; libjpeg 'fancy' semantics."""
+    from .ops import fused as F
+
+    slabs = F.fused_decode_planes(
+        _as_blocks(words), seg_mcus, idct_l, plan, geom.samplings,
+        retained, interpret, exact_idct,
+    )
+    planes = tuple(
+        F.assemble_plane_tiled(s, geom, sh, sv)
+        for s, (sh, sv) in zip(slabs, geom.samplings)
+    )
+    return F.finalize_fancy_planes(
+        planes, geom.samplings, geom.width, geom.height
+    )
+
+
 @dataclass
 class PreparedFrame:
     """Host-side preprocessing result for one frame — everything the device
@@ -191,11 +223,10 @@ class Decoder:
         # exact_idct: fixed-point integer IDCT, bit-identical to
         # golden.decode_rgb(idct="int") on every backend.
         self.exact_idct = exact_idct
-        # fancy (triangle-filter) chroma upsampling runs on the staged path;
-        # the fused kernel composites with the reference's nearest-neighbor
-        # semantics.
-        if fancy_upsampling:
-            fused = False
+        # fancy (triangle-filter) chroma upsampling rides the fused kernel's
+        # per-component-plane output when the raster-tiled layout applies
+        # (decode_frame_fused_planes); otherwise it falls back to the staged
+        # path at decode time (see decode_prepared).
         self.fancy = fancy_upsampling
         self.retained = retained_coefficients
         self.interpret = (
@@ -381,8 +412,19 @@ class Decoder:
     def decode_prepared(self, pf: PreparedFrame) -> jax.Array:
         """Async decode. Fused path returns packed RGBA [H, W] u32; staged
         path returns [H, W, 3] u8."""
-        if self.fused:
+        if self.fused and (pf.geom.tiling is not None or not self.fancy):
             idct_l = self._stream_consts(pf)
+            if self.fancy:
+                return decode_frame_fused_fancy(
+                    pf.words,
+                    pf.seg_mcus,
+                    idct_l,
+                    pf.plan,
+                    pf.geom,
+                    self.retained,
+                    self.interpret,
+                    self.exact_idct,
+                )
             return decode_frame_fused(
                 pf.words,
                 pf.seg_mcus,
@@ -405,7 +447,7 @@ class Decoder:
         )
 
     def _to_rgb(self, out: jax.Array) -> np.ndarray:
-        if self.fused:
+        if out.ndim == 2:  # fused paths: packed RGBA u32
             from .ops.fused import rgba_to_rgb_array
 
             return np.ascontiguousarray(rgba_to_rgb_array(np.asarray(out)))
@@ -433,7 +475,7 @@ class Decoder:
         """Decode to [H, W, 4] u8 RGBA (alpha=255) — the reference's output
         format (rgba8unorm texture, src/lib.rs:48)."""
         out = self.decode_prepared(self.prepare(data))
-        if self.fused:
+        if out.ndim == 2:  # fused paths: packed RGBA u32
             v = np.asarray(out)
             return v.view(np.uint8).reshape(v.shape + (4,))
         from .ops.color import rgb_to_rgba

@@ -37,7 +37,19 @@ def main() -> None:
 
     logging.basicConfig(level=logging.INFO)
 
-    frames = [open(f, "rb").read() for f in args.inputs]
+    # .mjpeg/.mjpg containers (the reference viewer's webcam source is an
+    # MJPG V4L2 stream, examples/viewer.rs:40-89) stream frame-by-frame;
+    # bare .jpg inputs are read whole.
+    from compeg_tpu import mjpeg
+
+    def frame_iter():
+        for f in args.inputs:
+            if f.lower().endswith((".mjpeg", ".mjpg")):
+                yield from mjpeg.frames_from_file(f)
+            else:
+                yield open(f, "rb").read()
+
+    frames = list(frame_iter())
     if args.loop:
         frames = list(itertools.chain.from_iterable([frames] * args.loop))
 

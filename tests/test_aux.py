@@ -93,3 +93,27 @@ def test_multiprocess_dryrun():
     )
     assert r.returncode == 0, (r.stdout, r.stderr)
     assert b"multiproc dryrun: OK" in r.stdout
+
+
+def test_viewer_example_mjpeg_cli(tmp_path, test_image):
+    """examples/viewer.py streams an .mjpeg container end to end (the
+    reference viewer's MJPG-source role, examples/viewer.rs:40-89)."""
+    from compeg_tpu import encoder
+
+    frame = encoder.encode(test_image(16, 16), sampling="422",
+                           restart_interval_mcus=1)
+    src = tmp_path / "cap.mjpeg"
+    src.write_bytes(frame * 3)
+    outdir = tmp_path / "out"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "examples/viewer.py", str(src),
+         "--save-dir", str(outdir), "--stats-every", "2"],
+        capture_output=True,
+        timeout=570,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env=env,
+    )
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    pngs = sorted(outdir.glob("*.png"))
+    assert len(pngs) == 3

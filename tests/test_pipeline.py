@@ -109,6 +109,24 @@ def test_fancy_upsampling_vs_libjpeg(test_image):
     assert np.mean((fancy - theirs) ** 2) < np.mean((near - theirs) ** 2)
 
 
+@pytest.mark.parametrize("sampling", ["422", "420", "444"])
+def test_fancy_fused_matches_staged(sampling, test_image):
+    """The fused per-component-plane fancy path (decode_frame_fused_fancy)
+    must be bit-identical to the staged fancy path (ops/color), which is
+    itself validated against libjpeg weighting above."""
+    from compeg_tpu.pipeline import Decoder
+
+    img = test_image(24, 48, "edges")
+    data = encoder.encode(img, sampling=sampling, quality=90,
+                          restart_interval_mcus=1)
+    fused = Decoder(interpret=True, fancy_upsampling=True)
+    staged = Decoder(interpret=True, fancy_upsampling=True, fused=False)
+    a = fused.decode(data)
+    assert fused.prepare(data).geom.tiling is not None  # rode the fused path
+    b = staged.decode(data)
+    assert np.array_equal(a, b)
+
+
 def test_width_rebucket_across_frames(test_image):
     """A stream whose segment sizes grow must transparently re-measure the
     scan width (the grow-only-buffer behavior of the reference)."""
