@@ -60,6 +60,18 @@ def decode_batch_fused(
         _as_blocks(words), seg_mcus, idct_l, plan, geom.samplings,
         retained, interpret, exact_idct, tiled=geom.tiling is not None,
     )
+    if geom.tiling is not None:
+        # Raster-tiled slabs: batched frames concatenate along the tile-row
+        # axis (blocks are (tr, tc) row-major per frame), so the whole batch
+        # assembles as ONE tall tiled image — a single flat transpose with
+        # the same per-frame cost as the single-frame path. A vmapped
+        # per-frame assembly measured ~2x slower (7D batched transposes).
+        n_tr, n_tc = geom.tiling
+        G, RI, mw, RT, L = blocks.shape
+        z = blocks.reshape(batch * n_tr, n_tc, RI, mw, RT, L)
+        z = z.transpose(0, 4, 1, 5, 2, 3)
+        img = z.reshape(batch, n_tr * RT, n_tc * L * RI * mw)
+        return img[:, : geom.height, : geom.width]
     g = blocks.shape[0] // batch
     blocks = blocks.reshape((batch, g) + blocks.shape[1:])
     return jax.vmap(lambda b: F.assemble_image(b, geom))(blocks)

@@ -86,6 +86,8 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32,
         ctypes.c_int32,
     ]
+    lib.compeg_pack_blocks.restype = ctypes.c_int
+    lib.compeg_pack_blocks.argtypes = list(lib.compeg_pack_rows.argtypes)
     lib.compeg_pack.restype = ctypes.c_int
     lib.compeg_pack.argtypes = [
         ctypes.c_char_p,
@@ -241,6 +243,51 @@ def pack_rows(
         from ..errors import bail
 
         bail(f"native pack_rows failed ({rc})")
+    return words, active
+
+
+def pack_blocks(
+    scan: bytes,
+    expected: int,
+    words_per_segment: int,
+    num_blocks: int,
+    n_threads: int = 0,
+    offset: int = 0,
+    length: Optional[int] = None,
+    tile: Optional[Tuple[int, int]] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Destuff + split + pack straight into the kernel's vector block layout
+    ``[G, W, 8, 128]`` (per-block L1 transpose on the host) and the
+    ``[G, 8, 128]`` active mask — removes the per-frame rows->blocks device
+    transpose. Same contract as :func:`pack_rows` otherwise."""
+    lib = load()
+    assert lib is not None
+    G, W = num_blocks, words_per_segment
+    if length is None:
+        length = len(scan) - offset
+    words = np.empty((G, W, 8, 128), dtype=np.uint32)
+    active = np.empty((G, 8, 128), dtype=np.int32)
+    if n_threads <= 0:
+        n_threads = min(4, os.cpu_count() or 1)
+    spr, ntc = tile if tile is not None else (0, 0)
+    rc = lib.compeg_pack_blocks(
+        scan,
+        len(scan),
+        offset,
+        length,
+        expected,
+        W,
+        G,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        active.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads,
+        spr,
+        ntc,
+    )
+    if rc != 0:
+        from ..errors import bail
+
+        bail(f"native pack_blocks failed ({rc})")
     return words, active
 
 

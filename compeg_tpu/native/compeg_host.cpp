@@ -415,6 +415,98 @@ int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
   return rc;
 }
 
+// Destuff + split + pack straight into the kernel's vector block layout
+// [G, W, 8, 128] — the rows layout plus a per-block cache-blocked transpose
+// (1024 x W rows fit L1), parallelized over blocks. Emitting blocks on the
+// host removes the per-frame rows->blocks device transpose (~0.06 ms/4K
+// frame) at ~0.1 ms of pooled host time.
+//   words:  buffer of G*W*8*128 u32 (caller allocates; fully written here)
+//   active: buffer of G*8*128 i32
+//   tile_spr/tile_ntc: raster-tiled slot assignment as in compeg_pack_rows;
+//     zero means linear (segment s -> slot s).
+// Returns 0, or -2 segment overflow, -3 interval count mismatch.
+int compeg_pack_blocks(const uint8_t* data, int64_t data_len, int64_t offset,
+                       int64_t len, int64_t expected, int32_t W, int32_t G,
+                       uint32_t* words, int32_t* active, int32_t n_threads,
+                       int32_t tile_spr, int32_t tile_ntc) {
+  if (len <= 0 || offset < 0 || offset + len > data_len) return -1;
+  const uint8_t* scan = data + offset;
+
+  // Phase A (parallel): RST marker positions, as in compeg_pack_rows.
+  int nt = n_threads > 0 ? n_threads : 1;
+  std::vector<std::vector<int64_t>> marks(nt);
+  auto find_markers = [&](int t) {
+    int64_t lo = len * t / nt, hi = len * (t + 1) / nt;
+    auto& out = marks[t];
+    out.reserve(static_cast<size_t>(expected) / nt + 8);
+    visit_ff(scan, lo, hi, [&](int64_t i) {
+      if (i + 1 >= len) return;
+      uint8_t nxt = scan[i + 1];
+      if (nxt >= 0xD0 && nxt <= 0xD7) out.push_back(i);
+    });
+  };
+  Pool::instance().run(nt, find_markers);
+
+  std::vector<SegSpan> spans;
+  spans.reserve(static_cast<size_t>(expected));
+  int64_t start = 0;
+  for (int t = 0; t < nt; t++) {
+    for (int64_t m : marks[t]) {
+      spans.push_back({start, m});
+      start = m + 2;
+    }
+  }
+  spans.push_back({start, len});
+  if (static_cast<int64_t>(spans.size()) != expected) return -3;
+  const int64_t nseg = spans.size();
+
+  // Phase B (parallel over blocks): pack the block's segments into a
+  // thread-local [1024, W] row buffer, then transpose into [W, 8, 128]
+  // (inner loop writes 512-byte contiguous lane runs).
+  const bool tiled = tile_spr > 0 && tile_ntc > 0;
+  std::vector<int> rcs(nt, 0);
+  auto work = [&](int t) {
+    std::vector<uint32_t> buf(static_cast<size_t>(kSegsPerBlock) * W);
+    for (int64_t g = t; g < G; g += nt) {
+      int32_t* act = active + g * kSegsPerBlock;
+      for (int64_t r = 0; r < kSegsPerBlock; r++) {
+        int64_t seg;
+        if (tiled) {
+          // Inverse of the tiled slot map: block g = (tr, tc); slot (s, l)
+          // -> MCU row tr*8+s, segment column tc*128+l.
+          const int64_t ntc = tile_ntc;
+          const int64_t mr = (g / ntc) * kSublanes + (r >> 7);
+          const int64_t sc = (g % ntc) * kLanes + (r & 127);
+          seg = (sc < tile_spr) ? mr * tile_spr + sc : -1;
+        } else {
+          seg = g * kSegsPerBlock + r;
+        }
+        if (seg < 0 || seg >= nseg) {
+          std::memset(buf.data() + r * W, 0, sizeof(uint32_t) * W);
+          act[r] = 0;
+          continue;
+        }
+        if (pack_segment_row(scan, spans[seg], buf.data() + r * W, W) < 0) {
+          rcs[t] = -2;
+          return;
+        }
+        act[r] = 1;
+      }
+      uint32_t* out = words + g * static_cast<int64_t>(W) * kSegsPerBlock;
+      for (int64_t k = 0; k < W; k++) {
+        uint32_t* dst = out + k * kSegsPerBlock;
+        const uint32_t* src = buf.data() + k;
+        for (int64_t r = 0; r < kSegsPerBlock; r++)
+          dst[r] = src[static_cast<size_t>(r) * W];
+      }
+    }
+  };
+  Pool::instance().run(nt, work);
+  for (int r : rcs)
+    if (r) return r;
+  return 0;
+}
+
 // Destuff + split + pack into the TPU block layout.
 //   words:  zeroed buffer of G*W*8*128 u32 (caller allocates)
 //   active: buffer of G*8*128 i32 (caller allocates)

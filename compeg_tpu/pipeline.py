@@ -308,7 +308,7 @@ class Decoder:
                 ntile = (tile.segs_per_row, tile.n_tc) if tile is not None else None
                 if w is not None:
                     try:
-                        words, active = native.pack_rows(
+                        words, active = native.pack_blocks(
                             src, expected, w, g, offset=off, length=ln,
                             tile=ntile,
                         )
@@ -322,7 +322,7 @@ class Decoder:
                         )
                     w = self._bucket_width(S._words_per_segment(mx))
                     self._cached_width = w
-                    words, active = native.pack_rows(
+                    words, active = native.pack_blocks(
                         src, expected, w, g, offset=off, length=ln, tile=ntile
                     )
             dscan = S.DeviceScan(words, active, expected, w)

@@ -118,3 +118,43 @@ def test_pack_rows_tiled_matches_python(test_image):
     assert np.array_equal(active, py.active)
     blocks = rows.reshape(tm.num_blocks, 8, 128, w).transpose(0, 3, 1, 2)
     assert np.array_equal(blocks, py.words)
+
+
+@pytest.mark.parametrize("kind", ["gradient", "noise"])
+def test_pack_blocks_matches_pack_rows(kind, test_image):
+    """Host block-layout pack == rows pack + device-side transpose."""
+    data = encoder.encode(
+        test_image(40, 64, kind), sampling="422", quality=90, restart_interval_mcus=1
+    )
+    img = scan_of(data)
+    expected = img.total_restart_intervals
+    segs = S.split_intervals(img.scan_data, expected)
+    w = S._words_per_segment(max(len(s) for s in segs))
+    g = -(-expected // S.SEGMENTS_PER_BLOCK)
+    rows, active_r = native.pack_rows(img.scan_data, expected, w, g)
+    blocks, active_b = native.pack_blocks(img.scan_data, expected, w, g)
+    assert blocks.shape == (g, w, 8, 128)
+    ref = rows.reshape(g, 8, 128, w).transpose(0, 3, 1, 2)
+    assert np.array_equal(blocks, ref)
+    assert np.array_equal(active_b, active_r)
+
+
+def test_pack_blocks_tiled_matches_pack_rows(test_image):
+    data = encoder.encode(
+        test_image(40, 64, "noise"), sampling="444", quality=92, restart_interval_mcus=1
+    )
+    img = scan_of(data)
+    expected = img.total_restart_intervals
+    tm = S.TileMap.for_geometry(img.height_mcus, img.width_mcus, img.restart_interval)
+    segs = S.split_intervals(img.scan_data, expected)
+    w = S._words_per_segment(max(len(s) for s in segs))
+    tile = (tm.segs_per_row, tm.n_tc)
+    rows, active_r = native.pack_rows(
+        img.scan_data, expected, w, tm.num_blocks, tile=tile
+    )
+    blocks, active_b = native.pack_blocks(
+        img.scan_data, expected, w, tm.num_blocks, tile=tile
+    )
+    ref = rows.reshape(tm.num_blocks, 8, 128, w).transpose(0, 3, 1, 2)
+    assert np.array_equal(blocks, ref)
+    assert np.array_equal(active_b, active_r)
