@@ -258,24 +258,32 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
         if planes:
             # Per-component pixel-plane epilogue (fancy-upsampling support):
             # no in-kernel color math; each component's pixels go out as a
-            # raster-tiled slab at the component's own resolution. The
-            # triangle-filter upsampling + color conversion then run as an
-            # XLA-fused elementwise epilogue over the assembled raster
-            # planes (ops/color.upsample_fancy_*), which the in-kernel
-            # nearest-composite cannot express (it would need neighboring
-            # MCUs from other lanes/blocks).
+            # raster-tiled slab at the component's own resolution, with FOUR
+            # consecutive x-pixels byte-packed per u32 (pixels are already
+            # clipped to [0, 255] by phase 2) — 4x less HBM traffic through
+            # the slab write, the assembly transpose, and the epilogue read
+            # than int32-per-pixel slabs. The triangle-filter upsampling +
+            # color conversion then run as an XLA-fused elementwise epilogue
+            # over the unpacked sub-planes (finalize_fancy_planes), which the
+            # in-kernel nearest-composite cannot express (it would need
+            # neighboring MCUs from other lanes/blocks).
             for ci, (slot0, ch, cv) in enumerate(layout):
                 wc = 8 * ch
                 rows_per = 8 * cv
-                for x in range(wc):
-                    rows = [
-                        coeff_s[
-                            slot0 + (r // 8) * ch + (x // 8),
-                            (r % 8) * 8 + (x % 8),
-                        ]
-                        for r in range(rows_per)
-                    ]
-                    out_refs[ci][0, 0, x] = jnp.stack(rows, axis=1).reshape(
+                for xq in range(wc // 4):
+                    rows = []
+                    for r in range(rows_per):
+                        word = None
+                        for b in range(4):
+                            x = xq * 4 + b
+                            px = coeff_s[
+                                slot0 + (r // 8) * ch + (x // 8),
+                                (r % 8) * 8 + (x % 8),
+                            ]
+                            px = px << (8 * b) if b else px
+                            word = px if word is None else word | px
+                        rows.append(jax.lax.bitcast_convert_type(word, U32))
+                    out_refs[ci][0, 0, xq] = jnp.stack(rows, axis=1).reshape(
                         SUBLANES * rows_per, LANES
                     )
         elif tiled:
@@ -435,9 +443,10 @@ def fused_decode_planes(
 ) -> Tuple[jax.Array, ...]:
     """Fused decode to per-component pixel planes (raster-tiled slabs).
 
-    Returns one int32 slab ``[G, RI, 8*h, SUBLANES*8*v, 128]`` per component
+    Returns one uint32 slab ``[G, RI, 2*h, SUBLANES*8*v, 128]`` per component
     (rows are raster rows of the block's 8-MCU-row tile at the component's
-    resolution). Requires the raster-tiled slot assignment. This is the
+    resolution; each u32 byte-packs 4 consecutive x-pixels, byte ``b`` =
+    pixel ``4q+b``). Requires the raster-tiled slot assignment. This is the
     fast path for fancy (triangle-filter) chroma upsampling, which needs
     raster-space neighbors and therefore cannot composite in-kernel."""
     G = plan.num_blocks
@@ -452,14 +461,14 @@ def fused_decode_planes(
     for (h, v) in samplings:
         out_specs.append(
             pl.BlockSpec(
-                (1, 1, 8 * h, SUBLANES * 8 * v, LANES),
+                (1, 1, 2 * h, SUBLANES * 8 * v, LANES),
                 lambda g, m: (g, m, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
         out_shape.append(
             jax.ShapeDtypeStruct(
-                (G, plan.ri, 8 * h, SUBLANES * 8 * v, LANES), I32
+                (G, plan.ri, 2 * h, SUBLANES * 8 * v, LANES), U32
             )
         )
     return pl.pallas_call(
@@ -495,51 +504,119 @@ def fused_decode_planes(
 
 
 def assemble_plane_tiled(slab: jax.Array, geom, sh: int, sv: int) -> jax.Array:
-    """One component's tiled slabs -> its raster plane (component res).
+    """One component's tiled slabs -> its raster plane (component res,
+    4 x-pixels byte-packed per u32 element).
 
     Same single minor-pair transpose as :func:`assemble_image_tiled`; the
     crop is to the component's *content* size (``height_mcus*8*v`` x
-    ``width_mcus*8*h``) so the triangle filter's edge clamping sees the same
+    ``width_mcus*8*h / 4`` packed words — always integral since MCU columns
+    are 8 or 16 pixels) so the triangle filter's edge clamping sees the same
     boundary samples as the staged path (ops/color.finalize_rgb)."""
-    G, RI, wc, RT, L = slab.shape
+    G, RI, wq, RT, L = slab.shape
     n_tr, n_tc = geom.tiling
-    z = slab.reshape(n_tr, n_tc, RI, wc, RT, L)
-    z = z.transpose(0, 4, 1, 5, 2, 3)  # [n_tr, RT, n_tc, L, RI, wc]
-    img = z.reshape(n_tr * RT, n_tc * L * RI * wc)
-    return img[: geom.height_mcus * 8 * sv, : geom.width_mcus * 8 * sh]
+    z = slab.reshape(n_tr, n_tc, RI, wq, RT, L)
+    z = z.transpose(0, 4, 1, 5, 2, 3)  # [n_tr, RT, n_tc, L, RI, wq]
+    img = z.reshape(n_tr * RT, n_tc * L * RI * wq)
+    return img[: geom.height_mcus * 8 * sv, : geom.width_mcus * 8 * sh // 4]
 
 
-def finalize_fancy_planes(
+def _fancy_h_subs(subs):
+    """Horizontal x2 triangle-filter upsampling on 4 byte-packed sub-planes.
+
+    ``subs[b][:, q]`` holds pixel column ``4q+b``; returns 8 sub-planes where
+    ``out[c][:, q]`` is *output* column ``8q+c`` — even ``c`` from
+    ``(3*p + left + 1) >> 2``, odd from ``(3*p + right + 2) >> 2``, with the
+    same edge clamping as ops/color.upsample_fancy_h (neighbors cross
+    sub-plane boundaries: left of sub 0 is sub 3 shifted right one word)."""
+    p0, p1, p2, p3 = subs
+    left = [
+        jnp.concatenate([p0[:, :1], p3[:, :-1]], axis=1), p0, p1, p2,
+    ]
+    right = [
+        p1, p2, p3, jnp.concatenate([p0[:, 1:], p3[:, -1:]], axis=1),
+    ]
+    out = []
+    for b in range(4):
+        out.append((3 * subs[b] + left[b] + 1) >> 2)
+        out.append((3 * subs[b] + right[b] + 2) >> 2)
+    return out
+
+
+def finalize_planes(
     planes: Tuple[jax.Array, ...],
     samplings: Tuple[Tuple[int, int], ...],
     width: int,
     height: int,
+    fancy: bool = True,
 ) -> jax.Array:
-    """Triangle-filter upsample + BT.601 over raster planes -> packed RGBA
-    u32 ``[H, W]`` (identical integer arithmetic to the staged fancy path,
-    ops/color.finalize_rgb with fancy=True)."""
+    """Chroma upsample + BT.601 over byte-packed raster planes -> packed
+    RGBA u32 ``[H, W]``. ``fancy=True`` is the libjpeg triangle filter
+    (identical integer arithmetic to the staged path, ops/color.finalize_rgb
+    with fancy=True); ``fancy=False`` is the reference's nearest-neighbor
+    sampling (src/dct.wgsl:302-313), bit-identical to the in-kernel
+    composite path.
+
+    Each input plane packs 4 x-pixels per u32 (byte ``b`` = column ``4q+b``,
+    from :func:`assemble_plane_tiled`). Upsampling runs on the 4 unpacked
+    sub-planes — neighbor columns live in adjacent sub-planes, so every step
+    stays elementwise (XLA fuses the unpack, filter, color convert, and the
+    final interleave into one pass over the output)."""
     from . import color as C
 
     max_h = max(s[0] for s in samplings)
     max_v = max(s[1] for s in samplings)
-    full = []
+    comps = []
     for plane, (sh, sv) in zip(planes, samplings):
-        fx, fy = max_h // sh, max_v // sv
-        if fy > 1:
-            plane = C.upsample_fancy_v(plane)
-        if fx > 1:
-            plane = C.upsample_fancy_h(plane)
-        full.append(plane[:height, :width])
-    if len(full) == 1:
-        y = jnp.clip(full[0], 0, 255)
-        r = g = b = y
+        subs = [
+            (jax.lax.shift_right_logical(plane, U32(8 * b)) & U32(0xFF))
+            .astype(jnp.int32)
+            for b in range(4)
+        ]
+        if max_v // sv > 1:
+            if fancy:
+                subs = [C.upsample_fancy_v(s) for s in subs]
+            else:
+                subs = [jnp.repeat(s, 2, axis=0) for s in subs]
+        comps.append(subs)
+
+    if len(comps) == 1:
+        ys = comps[0]
+        rgba_subs = []
+        for y in ys:
+            y = jnp.clip(y, 0, 255)
+            rgba_subs.append(y | (y << 8) | (y << 16) | jnp.int32(-16777216))
     else:
-        y, cb, cr = full[0], full[1] - 128, full[2] - 128
-        r = jnp.clip(y + ((45 * cr) >> 5), 0, 255)
-        g = jnp.clip(y - ((11 * cb + 23 * cr) >> 5), 0, 255)
-        b = jnp.clip(y + ((113 * cb) >> 6), 0, 255)
-    rgba = r | (g << 8) | (b << 16) | jnp.int32(-16777216)
-    return jax.lax.bitcast_convert_type(rgba, U32)
+        fx = max_h // samplings[1][0]
+        if fx > 1:
+            # Output column stride 8: y sub-planes re-strided to match the
+            # chroma upsampler's output sub-planes (col 8q+c <- y sub c%4 at
+            # word 2q + c//4; chroma sample x = 4q + c//2 <- sub c//2).
+            ys = [comps[0][c % 4][:, (c // 4)::2] for c in range(8)]
+            if fancy:
+                cbs = _fancy_h_subs(comps[1])
+                crs = _fancy_h_subs(comps[2])
+            else:
+                cbs = [comps[1][c // 2] for c in range(8)]
+                crs = [comps[2][c // 2] for c in range(8)]
+        else:
+            ys, cbs, crs = comps[0], comps[1], comps[2]
+        rgba_subs = []
+        for y, cb, cr in zip(ys, cbs, crs):
+            cb = cb - 128
+            cr = cr - 128
+            r = jnp.clip(y + ((45 * cr) >> 5), 0, 255)
+            g = jnp.clip(y - ((11 * cb + 23 * cr) >> 5), 0, 255)
+            b = jnp.clip(y + ((113 * cb) >> 6), 0, 255)
+            rgba_subs.append(r | (g << 8) | (b << 16) | jnp.int32(-16777216))
+
+    stride = len(rgba_subs)
+    hq, wq = rgba_subs[0].shape
+    img = jnp.stack(rgba_subs, axis=2).reshape(hq, wq * stride)
+    return jax.lax.bitcast_convert_type(img[:height, :width], U32)
+
+
+# Backwards-compatible alias (fancy epilogue).
+finalize_fancy_planes = finalize_planes
 
 
 def rgba_to_rgb_array(img_u32: np.ndarray) -> np.ndarray:

@@ -137,9 +137,11 @@ def decode_frame_fused(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("plan", "geom", "retained", "interpret", "exact_idct"),
+    static_argnames=(
+        "plan", "geom", "retained", "interpret", "exact_idct", "fancy",
+    ),
 )
-def decode_frame_fused_fancy(
+def decode_frame_fused_planes(
     words: jax.Array,  # [G, W, 8, 128] uint32 (or [G*1024, W] rows)
     seg_mcus: jax.Array,  # [G, 8, 128] int32
     idct_l: jax.Array,
@@ -148,10 +150,16 @@ def decode_frame_fused_fancy(
     retained: int = 64,
     interpret: bool = False,
     exact_idct: bool = False,
+    fancy: bool = False,
 ) -> jax.Array:
-    """Fused kernel with per-component plane output + triangle-filter
-    upsampling epilogue: scan words -> packed RGBA [H, W] u32. Matches the
-    staged fancy path (ops/color) bit-for-bit; libjpeg 'fancy' semantics."""
+    """Fused kernel with byte-packed per-component plane output + an
+    XLA-fused upsample/color epilogue: scan words -> packed RGBA [H, W] u32.
+
+    ``fancy=True`` is the libjpeg triangle filter (matches the staged fancy
+    path, ops/color, bit-for-bit); ``fancy=False`` is the reference's
+    nearest-neighbor sampling, bit-identical to the in-kernel composite path
+    (decode_frame_fused) — and faster: the kernel writes 4x less plane data
+    than u32-per-pixel RGBA, which more than pays for the epilogue."""
     from .ops import fused as F
 
     slabs = F.fused_decode_planes(
@@ -162,9 +170,15 @@ def decode_frame_fused_fancy(
         F.assemble_plane_tiled(s, geom, sh, sv)
         for s, (sh, sv) in zip(slabs, geom.samplings)
     )
-    return F.finalize_fancy_planes(
-        planes, geom.samplings, geom.width, geom.height
+    return F.finalize_planes(
+        planes, geom.samplings, geom.width, geom.height, fancy
     )
+
+
+# Backwards-compatible alias: the fancy entry point routes through the
+# general planes path.
+def decode_frame_fused_fancy(*args, **kwargs):
+    return decode_frame_fused_planes(*args, **kwargs, fancy=True)
 
 
 @dataclass
@@ -213,7 +227,14 @@ class Decoder:
         fancy_upsampling: bool = False,
         exact_idct: bool = False,
         max_device_bytes: int = 8 << 30,
+        planes_epilogue: Optional[bool] = None,
     ):
+        # planes_epilogue: route the fused kernel through the byte-packed
+        # per-component-plane output + XLA epilogue (faster: 4x less slab
+        # traffic) instead of the in-kernel RGBA composite. None = auto
+        # (planes whenever the raster-tiled layout applies). False keeps the
+        # composite path (debug/A-B).
+        self.planes_epilogue = planes_epilogue
         # Device-buffer budget per frame — the analogue of the reference's
         # MAX_RESTART_INTERVALS dispatch cap (src/lib.rs:295-298). A
         # degenerate geometry (e.g. a large no-DRI image: one giant interval
@@ -412,10 +433,11 @@ class Decoder:
     def decode_prepared(self, pf: PreparedFrame) -> jax.Array:
         """Async decode. Fused path returns packed RGBA [H, W] u32; staged
         path returns [H, W, 3] u8."""
-        if self.fused and (pf.geom.tiling is not None or not self.fancy):
+        use_planes = pf.geom.tiling is not None and self.planes_epilogue is not False
+        if self.fused and (use_planes or not self.fancy):
             idct_l = self._stream_consts(pf)
-            if self.fancy:
-                return decode_frame_fused_fancy(
+            if use_planes:
+                return decode_frame_fused_planes(
                     pf.words,
                     pf.seg_mcus,
                     idct_l,
@@ -424,6 +446,7 @@ class Decoder:
                     self.retained,
                     self.interpret,
                     self.exact_idct,
+                    self.fancy,
                 )
             return decode_frame_fused(
                 pf.words,
