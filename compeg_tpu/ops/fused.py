@@ -62,7 +62,7 @@ def _slot_layout(samplings):
 def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
                        unroll: int = 4, exact_idct: bool = False,
                        tiled: bool = False, planes: bool = False,
-                       _ablate: str = ""):
+                       precision: str = "highest", _ablate: str = ""):
     W = plan.words_per_segment
     dus = plan.dus_per_mcu
     mh, mw = _mcu_shape(samplings)
@@ -191,26 +191,58 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
                 for r in range(8):
                     for c in range(8):
                         coeff_s[slot, r * 8 + c] = jnp.clip(out[r][c], 0, 255)
-        else:
-            # l_ref holds per-slot [64, 64] f32 operators with the quantizer
-            # folded into the matrix (ops/luts.idct_dequant_matrices).
+        elif _ablate == "unpairidct":
+            # Probe: round-1 per-slot per-sublane formulation (l_ref is the
+            # unpaired [DUS, 64, 64] operator set) for profiler A/Bs.
             for slot in range(dus):
                 xf = coeff_s[slot].astype(F32)
-                Lq = l_ref[slot]
                 for s in range(SUBLANES):
-                    # HIGHEST keeps the MXU's f32 path (multi-pass bf16) so
-                    # the pixel output stays within +-1 of the f32 golden
-                    # decoder.
                     p = jnp.dot(
-                        Lq, xf[:, s, :],
+                        l_ref[slot], xf[:, s, :],
                         preferred_element_type=F32,
                         precision=jax.lax.Precision.HIGHEST,
                     )
                     p = jnp.clip(p + F32(128.5), 0.0, 255.0)
-                    # In-place: pixels overwrite the coefficient scratch (the
-                    # reference reuses its coefficients buffer the same way,
-                    # src/dct.wgsl:186-201); xf was materialized above.
                     coeff_s[slot, :, s, :] = p.astype(I32)
+        else:
+            # l_ref holds block-diagonal slot-PAIRED operators
+            # [ceil(DUS/2), 128, 128] = diag(Lq[2p], Lq[2p+1]) with the
+            # quantizer folded in (ops/luts.idct_dequant_matrices_paired).
+            # Pairing fills the MXU's full 128-row tile and flattening the
+            # sublanes into N=1024 columns amortizes the weight load; the
+            # device trace measures it NEUTRAL vs per-slot per-sublane
+            # [64,64]@[64,128] contractions (0.697 vs 0.690 ms/4K composite
+            # kernel, tools/exp_trace_ablate.py) — the IDCT phase is bound
+            # by the coeff-scratch relayout (i32->f32 cast + z-major ->
+            # sublane-major), not MXU issue — and is kept for the simpler
+            # single-dot-per-pair form. HIGHEST keeps the MXU's full f32
+            # path (multi-pass bf16) so the pixel output stays within +-1
+            # of the f32 golden decoder (Mosaic supports only
+            # DEFAULT/HIGHEST).
+            prec = {
+                "highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT,
+            }[precision]
+            for pr in range((dus + 1) // 2):
+                s0, s1 = 2 * pr, 2 * pr + 1
+                xa = coeff_s[s0].astype(F32).reshape(64, SUBLANES * LANES)
+                xb = (
+                    coeff_s[s1].astype(F32).reshape(64, SUBLANES * LANES)
+                    if s1 < dus
+                    else jnp.zeros((64, SUBLANES * LANES), F32)
+                )
+                x2 = jnp.concatenate([xa, xb], axis=0)
+                p2 = jnp.dot(
+                    l_ref[pr], x2, preferred_element_type=F32, precision=prec
+                )
+                # In-place: pixels overwrite the coefficient scratch (the
+                # reference reuses its coefficients buffer the same way,
+                # src/dct.wgsl:186-201); x2 was materialized above.
+                p2 = jnp.clip(p2 + F32(128.5), 0.0, 255.0).astype(I32)
+                coeff_s[s0] = p2[:64].reshape(64, SUBLANES, LANES)
+                if s1 < dus:
+                    coeff_s[s1] = p2[64:].reshape(64, SUBLANES, LANES)
 
         # ---- phase 3: composite MCU -> packed RGBA -----------------------
         if _ablate == "nop23":
@@ -310,20 +342,23 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
     jax.jit,
     static_argnames=(
         "plan", "samplings", "retained", "interpret", "exact_idct", "tiled",
-        "_ablate",
+        "precision", "_ablate",
     ),
 )
 def fused_decode_blocks(
     words: jax.Array,  # [G, W, 8, 128] uint32
     seg_mcus: jax.Array,  # [G, 8, 128] int32
-    idct_l: jax.Array,  # [DUS, 64, 64] f32 operators, or int32 broadcast
-                        # quantizers [DUS, 64, 8, 128] when exact_idct
+    idct_l: jax.Array,  # [ceil(DUS/2), 128, 128] f32 paired operators
+                        # (luts.idct_dequant_matrices_paired), or int32
+                        # broadcast quantizers [DUS, 64, 8, 128] when
+                        # exact_idct
     plan: EntropyPlan,
     samplings: Tuple[Tuple[int, int], ...],
     retained: int = 64,
     interpret: bool = False,
     exact_idct: bool = False,
     tiled: bool = False,
+    precision: str = "highest",
     _ablate: str = "",
 ) -> jax.Array:
     """Full fused decode, packed RGBA (r | g<<8 | b<<16 | a<<24) u32.
@@ -340,7 +375,7 @@ def fused_decode_blocks(
     kernel = _make_fused_kernel(plan, samplings, retained,
                                 unroll=1 if interpret else 8,
                                 exact_idct=exact_idct, tiled=tiled,
-                                _ablate=_ablate)
+                                precision=precision, _ablate=_ablate)
     if tiled:
         out_specs = pl.BlockSpec(
             (1, 1, mw, SUBLANES * mh, LANES),
@@ -429,6 +464,7 @@ def assemble_image_tiled(slabs: jax.Array, geom) -> jax.Array:
     jax.jit,
     static_argnames=(
         "plan", "samplings", "retained", "interpret", "exact_idct",
+        "precision",
     ),
 )
 def fused_decode_planes(
@@ -440,6 +476,7 @@ def fused_decode_planes(
     retained: int = 64,
     interpret: bool = False,
     exact_idct: bool = False,
+    precision: str = "highest",
 ) -> Tuple[jax.Array, ...]:
     """Fused decode to per-component pixel planes (raster-tiled slabs).
 
@@ -455,7 +492,7 @@ def fused_decode_planes(
     kernel = _make_fused_kernel(plan, samplings, retained,
                                 unroll=1 if interpret else 8,
                                 exact_idct=exact_idct, tiled=True,
-                                planes=True)
+                                planes=True, precision=precision)
     out_specs = []
     out_shape = []
     for (h, v) in samplings:

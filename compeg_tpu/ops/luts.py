@@ -37,6 +37,28 @@ def idct_dequant_matrices(
     return (L[None, :, :] * q[:, None, :]).astype(np.float32)
 
 
+def idct_dequant_matrices_paired(
+    qz_by_slot: np.ndarray, retained_coefficients: int = 64
+) -> np.ndarray:
+    """Block-diagonal slot-paired operators ``[ceil(DUS/2), 128, 128]``:
+    pair ``p`` is ``diag(Lq[2p], Lq[2p+1])``. Pairing two DU slots per
+    matmul fills the MXU's full 128-row tile (a lone ``[64, 64]`` operator
+    leaves 3/4 of the systolic array idle); device traces measure it
+    neutral vs per-slot contractions — the phase is relayout-bound, not
+    MXU-bound — and it is kept for the simpler kernel form (one dot per
+    pair instead of eight per slot). An odd slot count leaves the last
+    pair's lower-right block zero (the kernel feeds zeros and discards
+    that half)."""
+    L = idct_dequant_matrices(qz_by_slot, retained_coefficients)
+    dus = L.shape[0]
+    out = np.zeros(((dus + 1) // 2, 128, 128), np.float32)
+    for p in range((dus + 1) // 2):
+        out[p, :64, :64] = L[2 * p]
+        if 2 * p + 1 < dus:
+            out[p, 64:, 64:] = L[2 * p + 1]
+    return out
+
+
 def idct_matrix_zigzag(retained_coefficients: int = 64) -> np.ndarray:
     """``L`` with ``pixels_flat = L @ coeff_zigzag``: [64 raster, 64 zigzag].
 

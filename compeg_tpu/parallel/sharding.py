@@ -178,9 +178,9 @@ def decode_batch_sharded(
     wm = geom.width_mcus
     img_w = wm * 8 * max(s[0] for s in geom.samplings)
 
-    from ..ops.luts import idct_dequant_matrices
+    from ..ops.luts import idct_dequant_matrices_paired
 
-    lq_host = idct_dequant_matrices(np.asarray(qz_by_slot), retained)
+    lq_host = idct_dequant_matrices_paired(np.asarray(qz_by_slot), retained)
 
     def shard_fn(w_l, s_l, qz, lq):
         # w_l: [B_l, NB_l, G_b, W, 8, 128]

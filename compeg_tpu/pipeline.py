@@ -422,10 +422,10 @@ class Decoder:
                 )
                 hit = jax.device_put(np.ascontiguousarray(qb))
             else:
-                from .ops.luts import idct_dequant_matrices
+                from .ops.luts import idct_dequant_matrices_paired
 
                 hit = jax.device_put(
-                    idct_dequant_matrices(pf.qz_by_slot, self.retained)
+                    idct_dequant_matrices_paired(pf.qz_by_slot, self.retained)
                 )
             self._const_cache[key] = hit
         return hit
