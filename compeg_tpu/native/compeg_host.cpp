@@ -222,6 +222,52 @@ struct SegSpan {
   int64_t end;    // raw scan offset past the segment (before the RST)
 };
 
+// Find RST markers and build the per-segment spans, fully parallel.
+// Detection is context-free — the second byte of a stuffed/RST pair is
+// never 0xFF, so "scan[i]==FF && scan[i+1] in D0..D7" is exact regardless
+// of chunking. The span fill is parallel too (a serial 64k-push_back loop
+// measured ~0.4-0.6 ms on the 4K stream): chunk t's spans start at the
+// marker-count prefix sum, and its first span begins after the previous
+// non-empty chunk's last marker. Returns false on interval-count mismatch.
+bool build_spans(const uint8_t* scan, int64_t len, int64_t expected, int nt,
+                 std::vector<SegSpan>& spans) {
+  std::vector<std::vector<int64_t>> marks(nt);
+  auto find_markers = [&](int t) {
+    int64_t lo = len * t / nt, hi = len * (t + 1) / nt;
+    auto& out = marks[t];
+    out.reserve(static_cast<size_t>(expected) / nt + 8);
+    visit_ff(scan, lo, hi, [&](int64_t i) {
+      if (i + 1 >= len) return;
+      uint8_t nxt = scan[i + 1];
+      if (nxt >= 0xD0 && nxt <= 0xD7) out.push_back(i);
+    });
+  };
+  Pool::instance().run(nt, find_markers);
+
+  std::vector<int64_t> base(nt + 1, 0);
+  for (int t = 0; t < nt; t++)
+    base[t + 1] = base[t] + static_cast<int64_t>(marks[t].size());
+  if (base[nt] + 1 != expected) return false;
+  spans.resize(static_cast<size_t>(expected));
+  std::vector<int64_t> first_start(nt, 0);
+  int64_t prev_end = 0;
+  for (int t = 0; t < nt; t++) {
+    first_start[t] = prev_end;
+    if (!marks[t].empty()) prev_end = marks[t].back() + 2;
+  }
+  auto fill = [&](int t) {
+    int64_t start = first_start[t];
+    SegSpan* out = spans.data() + base[t];
+    for (size_t i = 0; i < marks[t].size(); i++) {
+      out[i] = {start, marks[t][i]};
+      start = marks[t][i] + 2;
+    }
+  };
+  Pool::instance().run(nt, fill);
+  spans[static_cast<size_t>(base[nt])] = {prev_end, len};
+  return true;
+}
+
 // Pack the raw bytes [begin, end) of segment `seg` (destuffing inline).
 // Returns destuffed byte count, or -1 if it overflows W*4 - guard bytes.
 // Fast path: segments with no 0xFF at all (the common case) are copied four
@@ -345,34 +391,9 @@ int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
   if (len <= 0 || offset < 0 || offset + len > data_len) return -1;
   const uint8_t* scan = data + offset;
 
-  // Phase A (parallel): find RST marker positions. Detection is
-  // context-free — the second byte of a stuffed/RST pair is never 0xFF, so
-  // "scan[i]==FF && scan[i+1] in D0..D7" is exact regardless of chunking.
   int nt = n_threads > 0 ? n_threads : 1;
-  std::vector<std::vector<int64_t>> marks(nt);
-  auto find_markers = [&](int t) {
-    int64_t lo = len * t / nt, hi = len * (t + 1) / nt;
-    auto& out = marks[t];
-    out.reserve(static_cast<size_t>(expected) / nt + 8);
-    visit_ff(scan, lo, hi, [&](int64_t i) {
-      if (i + 1 >= len) return;
-      uint8_t nxt = scan[i + 1];
-      if (nxt >= 0xD0 && nxt <= 0xD7) out.push_back(i);
-    });
-  };
-  Pool::instance().run(nt, find_markers);
-
   std::vector<SegSpan> spans;
-  spans.reserve(static_cast<size_t>(expected));
-  int64_t start = 0;
-  for (int t = 0; t < nt; t++) {
-    for (int64_t m : marks[t]) {
-      spans.push_back({start, m});
-      start = m + 2;
-    }
-  }
-  spans.push_back({start, len});
-  if (static_cast<int64_t>(spans.size()) != expected) return -3;
+  if (!build_spans(scan, len, expected, nt, spans)) return -3;
 
   const int64_t nseg = spans.size();
   const int64_t total = static_cast<int64_t>(G) * kSegsPerBlock;
@@ -432,32 +453,9 @@ int compeg_pack_blocks(const uint8_t* data, int64_t data_len, int64_t offset,
   if (len <= 0 || offset < 0 || offset + len > data_len) return -1;
   const uint8_t* scan = data + offset;
 
-  // Phase A (parallel): RST marker positions, as in compeg_pack_rows.
   int nt = n_threads > 0 ? n_threads : 1;
-  std::vector<std::vector<int64_t>> marks(nt);
-  auto find_markers = [&](int t) {
-    int64_t lo = len * t / nt, hi = len * (t + 1) / nt;
-    auto& out = marks[t];
-    out.reserve(static_cast<size_t>(expected) / nt + 8);
-    visit_ff(scan, lo, hi, [&](int64_t i) {
-      if (i + 1 >= len) return;
-      uint8_t nxt = scan[i + 1];
-      if (nxt >= 0xD0 && nxt <= 0xD7) out.push_back(i);
-    });
-  };
-  Pool::instance().run(nt, find_markers);
-
   std::vector<SegSpan> spans;
-  spans.reserve(static_cast<size_t>(expected));
-  int64_t start = 0;
-  for (int t = 0; t < nt; t++) {
-    for (int64_t m : marks[t]) {
-      spans.push_back({start, m});
-      start = m + 2;
-    }
-  }
-  spans.push_back({start, len});
-  if (static_cast<int64_t>(spans.size()) != expected) return -3;
+  if (!build_spans(scan, len, expected, nt, spans)) return -3;
   const int64_t nseg = spans.size();
 
   // Phase B (parallel over blocks): pack the block's segments into a
