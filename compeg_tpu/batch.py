@@ -21,6 +21,7 @@ from dataclasses import dataclass
 from typing import Iterable, Iterator, List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .errors import bail
@@ -32,18 +33,22 @@ from .pipeline import Decoder, FrameGeometry, PreparedFrame
 
 @functools.partial(
     jax.jit,
-    static_argnames=("plan", "geom", "batch", "retained", "interpret", "exact_idct"),
+    static_argnames=(
+        "plan", "geom", "batch", "retained", "interpret", "exact_idct",
+        "fancy",
+    ),
 )
 def decode_batch_fused(
     words: jax.Array,  # [B*G*1024, W] rows or [B*G, W, 8, 128] uint32
     seg_mcus: jax.Array,  # [B*G, 8, 128] int32
-    idct_l: jax.Array,  # [DUS, 64, 64] f32 operators (or i32 quantizers)
+    idct_l: jax.Array,  # paired operators (or i32 quantizers), see pipeline
     plan: E.EntropyPlan,  # with num_blocks == B*G
     geom: FrameGeometry,
     batch: int,
     retained: int = 64,
     interpret: bool = False,
     exact_idct: bool = False,
+    fancy: bool = False,
 ) -> jax.Array:
     """Decode ``batch`` same-geometry frames in ONE fused dispatch.
 
@@ -56,22 +61,45 @@ def decode_batch_fused(
     from .ops import fused as F
     from .pipeline import _as_blocks
 
+    if geom.tiling is not None:
+        # Fast path, same as the single-frame default: byte-packed
+        # per-component planes + XLA-fused upsample/color epilogue. Batched
+        # frames concatenate along the tile-row axis (blocks are (tr, tc)
+        # row-major per frame), so each plane assembles as ONE tall tiled
+        # image — a single flat transpose with the same per-frame cost as
+        # the single-frame path (a vmapped per-frame assembly measured ~2x
+        # slower: 7D batched transposes).
+        slabs = F.fused_decode_planes(
+            _as_blocks(words), seg_mcus, idct_l, plan, geom.samplings,
+            retained, interpret, exact_idct,
+        )
+        # Per-frame assembly + finalize graphs inside the one jit: each
+        # frame's slab slice is a free major-dim view, and the downstream
+        # ops are IDENTICAL to the single-frame path's, which XLA fuses
+        # tightly. Whole-batch epilogue variants all measured WORSE on the
+        # device trace (vmap ~2.5x: fusion split into separate bitcast/
+        # convert passes; tall stacked finalize ~4x: the crop + reshape
+        # seam defeated elementwise fusion; batched flat assembly ~2x: the
+        # [:, :H, :W] crop materialized as a separate slice pass).
+        g1 = plan.num_blocks // batch
+        outs = []
+        for i in range(batch):
+            planes_i = tuple(
+                F.assemble_plane_tiled(
+                    s[i * g1 : (i + 1) * g1], geom, sh, sv
+                )
+                for s, (sh, sv) in zip(slabs, geom.samplings)
+            )
+            outs.append(
+                F.finalize_planes(
+                    planes_i, geom.samplings, geom.width, geom.height, fancy
+                )
+            )
+        return jnp.stack(outs)
     blocks = F.fused_decode_blocks(
         _as_blocks(words), seg_mcus, idct_l, plan, geom.samplings,
-        retained, interpret, exact_idct, tiled=geom.tiling is not None,
+        retained, interpret, exact_idct, tiled=False,
     )
-    if geom.tiling is not None:
-        # Raster-tiled slabs: batched frames concatenate along the tile-row
-        # axis (blocks are (tr, tc) row-major per frame), so the whole batch
-        # assembles as ONE tall tiled image — a single flat transpose with
-        # the same per-frame cost as the single-frame path. A vmapped
-        # per-frame assembly measured ~2x slower (7D batched transposes).
-        n_tr, n_tc = geom.tiling
-        G, RI, mw, RT, L = blocks.shape
-        z = blocks.reshape(batch * n_tr, n_tc, RI, mw, RT, L)
-        z = z.transpose(0, 4, 1, 5, 2, 3)
-        img = z.reshape(batch, n_tr * RT, n_tc * L * RI * mw)
-        return img[:, : geom.height, : geom.width]
     g = blocks.shape[0] // batch
     blocks = blocks.reshape((batch, g) + blocks.shape[1:])
     return jax.vmap(lambda b: F.assemble_image(b, geom))(blocks)
@@ -126,6 +154,7 @@ class BatchDecoder:
         interpret: Optional[bool] = None,
         fused: bool = True,
         exact_idct: bool = False,
+        fancy_upsampling: bool = False,
     ):
         # fused is passed through: prepare() chooses the raster-tiled slot
         # layout only for the fused path, and the staged batch decode
@@ -136,6 +165,7 @@ class BatchDecoder:
         self.retained = retained_coefficients
         self.fused = fused
         self.exact_idct = exact_idct
+        self.fancy = fancy_upsampling
         # seg_mcus is a pure function of stream geometry — identical for
         # every frame of a batch — so the batched copy uploads once.
         self._segmcus_cache: dict = {}
@@ -181,6 +211,7 @@ class BatchDecoder:
                 self.retained,
                 self._dec.interpret,
                 self.exact_idct,
+                self.fancy,
             )
         return decode_batch_device(
             words,
