@@ -56,3 +56,17 @@ def test_stream_decoder(test_image):
         want = golden.decode_rgb(f)
         diff = np.abs(o.astype(int) - want.astype(int))
         assert diff.max() <= 1
+
+
+def test_batch_fancy_matches_single(test_image):
+    """Batched fancy (triangle) upsampling must be bit-identical to the
+    per-frame fancy decode — including 4:2:0, where the vertical filter
+    must not bleed across stacked frames in the batched epilogue."""
+    from compeg_tpu.pipeline import Decoder
+
+    for sampling in ("422", "420"):
+        frames = frames_of(test_image, n=2, sampling=sampling)
+        out = BatchDecoder(interpret=True, fancy_upsampling=True).decode(frames)
+        dec = Decoder(interpret=True, fancy_upsampling=True)
+        for i, f in enumerate(frames):
+            assert np.array_equal(out[i], dec.decode(f)), sampling
