@@ -106,7 +106,8 @@ def decode_batch_fused(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("plan", "geom", "batch", "retained", "interpret")
+    jax.jit,
+    static_argnames=("plan", "geom", "batch", "retained", "interpret", "fancy"),
 )
 def decode_batch_device(
     words: jax.Array,  # [B*G, W, 8, 128] uint32
@@ -117,6 +118,7 @@ def decode_batch_device(
     batch: int,
     retained: int = 64,
     interpret: bool = False,
+    fancy: bool = False,
 ) -> jax.Array:
     """Decode ``batch`` same-geometry frames in one dispatch -> [B, H, W, 3]."""
     from .pipeline import _as_blocks
@@ -136,6 +138,7 @@ def decode_batch_device(
             height=geom.height,
             width_mcus=geom.width_mcus,
             height_mcus=geom.height_mcus,
+            fancy=fancy,
         )
 
     return jax.vmap(one)(pix)
@@ -200,7 +203,13 @@ class BatchDecoder:
             seg_mcus = jax.device_put(np.tile(one, (b, 1, 1)))
             self._segmcus_cache[key] = seg_mcus
         plan = self._batch_plan(p0, b)
-        if self.fused:
+        # Fancy on an untiled geometry cannot ride the fused kernel (its
+        # in-kernel composite is nearest-only and the planes formulation
+        # needs the raster-tiled layout) — fall through to the staged batch
+        # decode, same as the single-frame Decoder's fancy fallback. The
+        # untiled fused prepare packs linear slots, which the staged path
+        # expects.
+        if self.fused and not (self.fancy and pfs[0].geom.tiling is None):
             return decode_batch_fused(
                 words,
                 seg_mcus,
@@ -222,11 +231,12 @@ class BatchDecoder:
             b,
             self.retained,
             self._dec.interpret,
+            self.fancy,
         )
 
     def to_rgb(self, out: jax.Array) -> np.ndarray:
         """Device batch output -> [B, H, W, 3] u8 (synchronizes)."""
-        if self.fused:
+        if out.ndim == 3:  # fused paths: packed RGBA u32 [B, H, W]
             from .ops.fused import rgba_to_rgb_array
 
             return np.ascontiguousarray(rgba_to_rgb_array(np.asarray(out)))

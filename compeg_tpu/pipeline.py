@@ -295,11 +295,14 @@ class Decoder:
                 expected,
             )
             self._warned_parallelism = True
+        g_lin = -(-expected // S.SEGMENTS_PER_BLOCK)
+        tile = self._tile_map(img, g_lin)
+        g = tile.num_blocks if tile is not None else g_lin
         # Device-buffer budget check: the dominating intermediate is the
         # padded per-MCU block array — fused path: packed RGBA pixels
         # [G, RI, mh, mw, 8, 128]; staged path: coefficients
-        # [G, RI, DUS, 64, 8, 128] (i32 each).
-        g = -(-expected // S.SEGMENTS_PER_BLOCK)
+        # [G, RI, DUS, 64, 8, 128] (i32 each). Uses the ACTUAL block count
+        # (the tiled layout pads up to ~25% beyond the linear one).
         padded_mcus = g * S.SEGMENTS_PER_BLOCK * img.restart_interval
         per_mcu = (
             img.mcu_width * img.mcu_height
@@ -314,9 +317,6 @@ class Decoder:
                 f"{expected} segments); exceeds the {self.max_device_bytes >> 20}"
                 " MiB budget — fall back to a software decoder"
             )
-        g_lin = -(-expected // S.SEGMENTS_PER_BLOCK)
-        tile = self._tile_map(img, g_lin)
-        g = tile.num_blocks if tile is not None else g_lin
         if native.available():
             w = self._cached_width
             words = active = None
@@ -366,7 +366,17 @@ class Decoder:
                                  blk.words_per_segment)
         plan = E.plan_from_image(img, dscan)
         tiling = (tile.n_tr, tile.n_tc) if tile is not None else None
-        key = (img.restart_interval, img.total_mcus, dscan.num_blocks, tiling)
+        # The mask depends on the full MCU-grid shape, not just the MCU
+        # count: a 8x2 and a 2x8 grid share (ri, total_mcus, blocks, tiling)
+        # but activate different tiled slots.
+        key = (
+            img.restart_interval,
+            img.total_mcus,
+            img.height_mcus,
+            img.width_mcus,
+            dscan.num_blocks,
+            tiling,
+        )
         seg_mcus = self._segmcus_cache.get(key)
         if seg_mcus is None:
             if tile is not None:
@@ -433,7 +443,13 @@ class Decoder:
     def decode_prepared(self, pf: PreparedFrame) -> jax.Array:
         """Async decode. Fused path returns packed RGBA [H, W] u32; staged
         path returns [H, W, 3] u8."""
-        use_planes = pf.geom.tiling is not None and self.planes_epilogue is not False
+        # Fancy on a tiled-packed frame MUST ride the planes path even when
+        # planes_epilogue=False: the words carry the raster-tiled slot
+        # permutation, which the staged fallback (linear slots) cannot
+        # decode, and the planes path is the only fused fancy formulation.
+        use_planes = pf.geom.tiling is not None and (
+            self.planes_epilogue is not False or self.fancy
+        )
         if self.fused and (use_planes or not self.fancy):
             idct_l = self._stream_consts(pf)
             if use_planes:

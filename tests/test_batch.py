@@ -70,3 +70,23 @@ def test_batch_fancy_matches_single(test_image):
         dec = Decoder(interpret=True, fancy_upsampling=True)
         for i, f in enumerate(frames):
             assert np.array_equal(out[i], dec.decode(f)), sampling
+
+
+def test_batch_fancy_untiled_falls_back_to_staged(test_image):
+    """fancy + an untiled geometry (ri doesn't divide the MCU-row width)
+    must not silently emit nearest-neighbor chroma: the batch falls back
+    to the staged decode, matching the single-frame Decoder."""
+    from compeg_tpu.pipeline import Decoder
+
+    frames = [
+        encoder.encode(test_image(24, 48, "noise", seed=s), sampling="422",
+                       quality=80, restart_interval_mcus=2)
+        for s in range(2)
+    ]
+    bdec = BatchDecoder(interpret=True, fancy_upsampling=True)
+    pfs = bdec.prepare_batch(frames)
+    assert pfs[0].geom.tiling is None  # scenario actually untiled
+    out = bdec.to_rgb(bdec.decode_prepared(pfs))
+    dec = Decoder(interpret=True, fancy_upsampling=True)
+    for i, f in enumerate(frames):
+        assert np.array_equal(out[i], dec.decode(f))

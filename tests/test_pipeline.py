@@ -200,3 +200,33 @@ def test_tiled_vs_linear_layout_identical(test_image):
 
 def pf_linear_tiling_is_none(dec, data):
     return dec.prepare(data).geom.tiling is None
+
+
+def test_segmcus_cache_distinguishes_grid_shapes(test_image):
+    """A shared Decoder must not reuse one MCU grid's active-slot mask for
+    a different grid with the same MCU count (8x2 vs 2x8 MCUs collide on
+    (ri, total_mcus, blocks, tiling) alone)."""
+    dec = Decoder(interpret=True)
+    a = encoder.encode(test_image(16, 64, "noise"), sampling="444",
+                       quality=85, restart_interval_mcus=1)
+    b = encoder.encode(test_image(64, 16, "noise"), sampling="444",
+                       quality=85, restart_interval_mcus=1)
+    assert np.array_equal(dec.decode(a), golden.decode_rgb(a))
+    got = dec.decode(b)
+    want = golden.decode_rgb(b)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 2
+
+
+def test_fancy_with_planes_epilogue_disabled(test_image):
+    """fancy + planes_epilogue=False must still decode tiled-packed words
+    correctly (the staged fallback cannot read the tiled slot permutation,
+    so the planes path must win)."""
+    img = test_image(24, 48, "noise")
+    data = encoder.encode(img, sampling="422", quality=88,
+                          restart_interval_mcus=1)
+    dec = Decoder(interpret=True, fancy_upsampling=True,
+                  planes_epilogue=False)
+    pf = dec.prepare(data)
+    assert pf.geom.tiling is not None
+    want = Decoder(interpret=True, fancy_upsampling=True).decode(data)
+    assert np.array_equal(dec.decode(data), want)
