@@ -62,6 +62,60 @@ static inline bool has_ff_u64(uint64_t v) {
   return ((x - 0x0101010101010101ull) & ~x & 0x8080808080808080ull) != 0;
 }
 
+#if defined(__AVX2__)
+// 8x8 u32 transpose: dst[k*dstride + r] = src[r*sstride + k].
+static inline void transpose8x8_u32(const uint32_t* src, int64_t sstride,
+                                    uint32_t* dst, int64_t dstride) {
+  auto ld = [&](int r) {
+    return _mm256_loadu_si256(
+        reinterpret_cast<const __m256i*>(src + r * sstride));
+  };
+  __m256i r0 = ld(0), r1 = ld(1), r2 = ld(2), r3 = ld(3);
+  __m256i r4 = ld(4), r5 = ld(5), r6 = ld(6), r7 = ld(7);
+  __m256i t0 = _mm256_unpacklo_epi32(r0, r1), t1 = _mm256_unpackhi_epi32(r0, r1);
+  __m256i t2 = _mm256_unpacklo_epi32(r2, r3), t3 = _mm256_unpackhi_epi32(r2, r3);
+  __m256i t4 = _mm256_unpacklo_epi32(r4, r5), t5 = _mm256_unpackhi_epi32(r4, r5);
+  __m256i t6 = _mm256_unpacklo_epi32(r6, r7), t7 = _mm256_unpackhi_epi32(r6, r7);
+  __m256i u0 = _mm256_unpacklo_epi64(t0, t2), u1 = _mm256_unpackhi_epi64(t0, t2);
+  __m256i u2 = _mm256_unpacklo_epi64(t1, t3), u3 = _mm256_unpackhi_epi64(t1, t3);
+  __m256i u4 = _mm256_unpacklo_epi64(t4, t6), u5 = _mm256_unpackhi_epi64(t4, t6);
+  __m256i u6 = _mm256_unpacklo_epi64(t5, t7), u7 = _mm256_unpackhi_epi64(t5, t7);
+  auto st = [&](int k, __m256i v) {
+    _mm256_storeu_si256(reinterpret_cast<__m256i*>(dst + k * dstride), v);
+  };
+  st(0, _mm256_permute2x128_si256(u0, u4, 0x20));
+  st(1, _mm256_permute2x128_si256(u1, u5, 0x20));
+  st(2, _mm256_permute2x128_si256(u2, u6, 0x20));
+  st(3, _mm256_permute2x128_si256(u3, u7, 0x20));
+  st(4, _mm256_permute2x128_si256(u0, u4, 0x31));
+  st(5, _mm256_permute2x128_si256(u1, u5, 0x31));
+  st(6, _mm256_permute2x128_si256(u2, u6, 0x31));
+  st(7, _mm256_permute2x128_si256(u3, u7, 0x31));
+}
+#endif
+
+// Transpose buf [rows, W] -> out [W, rows]. The scalar fallback is blocked
+// over rows so the strided source stays in L1 across the k passes; with
+// AVX2 the body is 8x8 register transposes (both sides fully vectorized).
+static inline void transpose_rows_to_cols(const uint32_t* buf, int64_t rows,
+                                          int64_t W, uint32_t* out) {
+  int64_t k8 = 0;
+#if defined(__AVX2__)
+  k8 = W & ~int64_t{7};
+  for (int64_t r0 = 0; r0 < rows; r0 += 8)
+    for (int64_t k0 = 0; k0 < k8; k0 += 8)
+      transpose8x8_u32(buf + r0 * W + k0, W, out + k0 * rows + r0, rows);
+#endif
+  if (k8 == W) return;
+  constexpr int64_t kRB = 128;  // row tile: kRB*W*4 bytes stays L1-resident
+  for (int64_t r0 = 0; r0 < rows; r0 += kRB)
+    for (int64_t k = k8; k < W; k++) {
+      uint32_t* dst = out + k * rows + r0;
+      const uint32_t* src = buf + r0 * W + k;
+      for (int64_t r = 0; r < kRB; r++) dst[r] = src[r * W];
+    }
+}
+
 }  // namespace
 
 namespace {
@@ -491,12 +545,7 @@ int compeg_pack_blocks(const uint8_t* data, int64_t data_len, int64_t offset,
         act[r] = 1;
       }
       uint32_t* out = words + g * static_cast<int64_t>(W) * kSegsPerBlock;
-      for (int64_t k = 0; k < W; k++) {
-        uint32_t* dst = out + k * kSegsPerBlock;
-        const uint32_t* src = buf.data() + k;
-        for (int64_t r = 0; r < kSegsPerBlock; r++)
-          dst[r] = src[static_cast<size_t>(r) * W];
-      }
+      transpose_rows_to_cols(buf.data(), kSegsPerBlock, W, out);
     }
   };
   Pool::instance().run(nt, work);

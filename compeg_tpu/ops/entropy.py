@@ -112,10 +112,21 @@ def _refill(words, hi, lo, nbits, widx, wmax, mask=None):
     if mask is not None:
         need = need & mask
     wi = jnp.minimum(widx, wmax - 1)
-    w = jnp.zeros_like(hi)
-    for k in range(wmax):
-        w = jnp.where(wi == k, words[k], w)
-    w = jnp.where(need, w, jnp.zeros_like(w))
+    # Word fetch as a bit-test mux tree over the block's word rows: one
+    # compare per level (shared by every select at that level) instead of a
+    # wi == k compare per row — ~half the vector ops of the linear chain.
+    nodes = list(words)
+    bit = 0
+    while len(nodes) > 1:
+        cond = (wi & (1 << bit)) != 0
+        nxt = []
+        for i in range(0, len(nodes) - 1, 2):
+            nxt.append(jnp.where(cond, nodes[i + 1], nodes[i]))
+        if len(nodes) % 2:
+            nxt.append(nodes[-1])
+        nodes = nxt
+        bit += 1
+    w = jnp.where(need, nodes[0], jnp.zeros_like(hi))
     nb = jnp.minimum(nbits, 31).astype(U32)
     hi = hi | (w >> nb)
     lo = lo | ((w << 1) << (31 - nb))
@@ -144,15 +155,30 @@ def _decode_code(tc: TableConsts, hi):
     compile-time table constants.
     """
     c16 = (hi >> 16).astype(I32)
-    ln = jnp.ones_like(c16)
-    for j in range(1, tc.max_len):
-        ln = ln + (c16 >= tc.limits[j]).astype(I32)
+    # Code length + value-table offset in ONE compare pass. The canonical
+    # limits are monotone and an empty length reuses the previous bound
+    # (huffman.py:_build_table_cached), so compares within a run of equal
+    # limits are identical: one compare per *distinct* limit decides the
+    # whole run. Each fired run contributes its length increment and the
+    # telescoped delta step delta[b+1]-delta[a] packed into a single
+    # constant (delta*32 + run; total run sum <= 15 so 5 bits suffice and
+    # the bitwise unpack is exact for negative deltas in two's complement).
+    # ~40% fewer vector ops than the separate length compare-sum + delta
+    # select chain this replaces.
+    acc = jnp.zeros_like(c16)
+    j = 1
+    while j < tc.max_len:
+        a = j
+        while j + 1 < tc.max_len and tc.limits[j + 1] == tc.limits[a]:
+            j += 1
+        run = j - a + 1
+        dd = tc.delta[j + 1] - tc.delta[a]
+        acc = acc + jnp.where(c16 >= tc.limits[a], dd * 32 + run, 0)
+        j += 1
+    ln = 1 + (acc & 31)
+    delta = tc.delta[1] + jax.lax.shift_right_arithmetic(acc, 5)
     # Symbol ordinal: (c16 >> (16 - ln)) + delta[ln].
     k = jax.lax.shift_right_logical(c16, 16 - ln)
-    delta = jnp.zeros_like(c16)
-    for j in range(1, tc.max_len + 1):
-        if tc.delta[j] != 0:
-            delta = jnp.where(ln == j, tc.delta[j], delta)
     k = jnp.clip(k + delta, 0, tc.num_values - 1)
     # Value fetch: packed-word mux tree (conditions shared per level) then a
     # per-lane dynamic-shift byte extract.

@@ -20,11 +20,22 @@ w = S._words_per_segment(mx)
 g = -(-n // S.SEGMENTS_PER_BLOCK)
 sz = len(img.scan_data)
 
+from compeg_tpu.pipeline import Decoder
+
+dec = Decoder()
+tile = dec._tile_map(img, g)
+ntile = (tile.segs_per_row, tile.n_tc) if tile is not None else None
+gt = tile.num_blocks if tile is not None else g
+
 for name, fn, reps in [
     ("analyze (native parse)", lambda: analyze(data), 30),
     ("scan_info", lambda: native.scan_info(img.scan_data), 30),
     ("pack_rows (4 threads)", lambda: native.pack_rows(
         img.source, n, w, g, offset=img.scan_offset, length=sz), 30),
+    ("pack_blocks tiled (4 threads, decode path)", lambda: native.pack_blocks(
+        img.source, n, w, gt, offset=img.scan_offset, length=sz,
+        tile=ntile), 30),
+    ("prepare (parse+pack, steady state)", lambda: dec.prepare(data), 30),
 ]:
     fn()
     t0 = time.perf_counter()
