@@ -69,6 +69,10 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
     layout = _slot_layout(samplings)
 
     def kernel(words_ref, segmcus_ref, l_ref, *out_and_scratch):
+        if exact_idct:
+            # Extra operand: stacked 8-bit-limb pass operators [2, 128, 64]
+            # (ops/int_idct.mxu_operators).
+            t_ref, *out_and_scratch = out_and_scratch
         if planes:
             nout = len(samplings)
         else:
@@ -176,21 +180,58 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
             pass
         elif exact_idct:
             # Exact-integer mode: l_ref holds the broadcast int32 quantizers
-            # [DUS, 64, 8, 128]; the fixed-point Loeffler IDCT
-            # (ops/int_idct.py) runs bit-identically to the golden decoder.
-            from ..tables import ZIGZAG
-            from .int_idct import idct_2d_rows
-
-            zz = [int(v) for v in ZIGZAG]
+            # [DUS, 64, 8, 128]; t_ref the limb-split integer pass operators.
+            # Each fixed-point Loeffler pass (ops/int_idct.py) is a linear
+            # map + one descale, so it runs as ONE exact single-pass bf16
+            # MXU matmul: every operand limb is an integer in [-256, 255]
+            # (bf16-exact) and the operator rows have only 8 nonzeros, so
+            # partial sums stay < 2^20 and f32 accumulation is exact. The
+            # int32 recombination (shifts + adds with two's-complement wrap)
+            # reproduces the butterfly's arithmetic mod 2^32 — bit-identical
+            # to the golden decoder, at a fraction of the VPU vector
+            # butterflies' cost. Zigzag deswizzle is folded into the pass-1
+            # operator. Bounds checked in ops/int_idct.py docstrings.
+            n = SUBLANES * LANES
+            BF16 = jnp.bfloat16
             for slot in range(dus):
                 xq = jnp.clip(coeff_s[slot] * l_ref[slot], -32768, 32767)
-                cols = [
-                    [xq[zz[r * 8 + c]] for c in range(8)] for r in range(8)
-                ]
-                out = idct_2d_rows(cols)
-                for r in range(8):
-                    for c in range(8):
-                        coeff_s[slot, r * 8 + c] = jnp.clip(out[r][c], 0, 255)
+                x = xq.reshape(64, n)
+                X = jnp.concatenate(
+                    [(x >> 8).astype(BF16), (x & 255).astype(BF16)], axis=1
+                )
+                P = jnp.dot(
+                    t_ref[0], X, preferred_element_type=F32
+                ).astype(I32)
+                y = (
+                    (P[:64, :n] << 16)
+                    + ((P[:64, n:] + P[64:, :n]) << 8)
+                    + P[64:, n:]
+                )
+                p1 = (y + (1 << 10)) >> 11  # descale CONST_BITS-PASS1_BITS
+                # Pass 2 input is ~2^20; three 8-bit limbs keep it bf16-exact
+                # (high limb p1>>16 is in [-15, 14]).
+                X2 = jnp.concatenate(
+                    [
+                        (p1 >> 16).astype(BF16),
+                        ((p1 >> 8) & 255).astype(BF16),
+                        (p1 & 255).astype(BF16),
+                    ],
+                    axis=1,
+                )
+                P2 = jnp.dot(
+                    t_ref[1], X2, preferred_element_type=F32
+                ).astype(I32)
+                y2 = (
+                    (P2[:64, :n] << 24)
+                    + ((P2[:64, n:2 * n] + P2[64:, :n]) << 16)
+                    + ((P2[:64, 2 * n:] + P2[64:, n:2 * n]) << 8)
+                    + P2[64:, 2 * n:]
+                )
+                # descale CONST_BITS+PASS1_BITS+3, +128 level shift, clamp.
+                pix = ((y2 + (1 << 17)) >> 18) + 128
+                coeff_s[slot] = jnp.clip(pix, 0, 255).reshape(
+                    64, SUBLANES, LANES
+                )
         elif _ablate == "unpairidct":
             # Probe: round-1 per-slot per-sublane formulation (l_ref is the
             # unpaired [DUS, 64, 64] operator set) for profiler A/Bs.
@@ -394,20 +435,27 @@ def fused_decode_blocks(
         out_shape = jax.ShapeDtypeStruct(
             (G, plan.ri, mh, mw, SUBLANES, LANES), U32
         )
+    in_specs = [
+        pl.BlockSpec(
+            (1, W, SUBLANES, LANES), lambda g, m: (g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, SUBLANES, LANES), lambda g, m: (g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands = [words, seg_mcus, idct_l]
+    if exact_idct:
+        from .int_idct import mxu_operators
+
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(jnp.asarray(mxu_operators(), dtype=jnp.bfloat16))
     return pl.pallas_call(
         kernel,
         grid=(G, plan.ri),
-        in_specs=[
-            pl.BlockSpec(
-                (1, W, SUBLANES, LANES), lambda g, m: (g, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, SUBLANES, LANES), lambda g, m: (g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -423,7 +471,7 @@ def fused_decode_blocks(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(words, seg_mcus, idct_l)
+    )(*operands)
 
 
 @functools.partial(jax.jit, static_argnames=("geom",))
@@ -508,20 +556,27 @@ def fused_decode_planes(
                 (G, plan.ri, 2 * h, SUBLANES * 8 * v, LANES), U32
             )
         )
+    in_specs = [
+        pl.BlockSpec(
+            (1, W, SUBLANES, LANES), lambda g, m: (g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, SUBLANES, LANES), lambda g, m: (g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands = [words, seg_mcus, idct_l]
+    if exact_idct:
+        from .int_idct import mxu_operators
+
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(jnp.asarray(mxu_operators(), dtype=jnp.bfloat16))
     return pl.pallas_call(
         kernel,
         grid=(G, plan.ri),
-        in_specs=[
-            pl.BlockSpec(
-                (1, W, SUBLANES, LANES), lambda g, m: (g, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, SUBLANES, LANES), lambda g, m: (g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=[
@@ -537,7 +592,7 @@ def fused_decode_planes(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(words, seg_mcus, idct_l)
+    )(*operands)
 
 
 def assemble_plane_tiled(slab: jax.Array, geom, sh: int, sv: int) -> jax.Array:

@@ -48,10 +48,11 @@ def descale(x, n: int):
     return (x + (1 << (n - 1))) >> n
 
 
-def idct_1d(s, shift_out: int):
+def idct_1d(s, shift_out):
     """One scaled 8-point integer IDCT: ``s`` is a list of 8 int32 arrays
     (numpy or jnp — any type with +,-,*,<<,>> semantics), returns 8 arrays
-    descaled by ``shift_out``."""
+    descaled by ``shift_out``. ``shift_out=None`` returns the raw pre-descale
+    sums (used to extract the pass as an integer matrix)."""
     # Even part.
     z2, z3 = s[2], s[6]
     z1 = (z2 + z3) * FIX_0_541196100
@@ -82,6 +83,11 @@ def idct_1d(s, shift_out: int):
     t1 = t1 + z2 + z4
     t2 = t2 + z2 + z3
     t3 = t3 + z1 + z4
+    if shift_out is None:
+        return [
+            t10 + t3, t11 + t2, t12 + t1, t13 + t0,
+            t13 - t0, t12 - t1, t11 - t2, t10 - t3,
+        ]
     return [
         descale(t10 + t3, shift_out),
         descale(t11 + t2, shift_out),
@@ -115,3 +121,58 @@ def idct_2d_rows(cols):
         for c in range(8):
             out[r][c] = o[c] + 128
     return out
+
+
+# ---------------------------------------------------------------------------
+# MXU formulation. Each 1D pass is a LINEAR map followed by one descale, so
+# the 2D transform is two exact integer 64-point matmuls with a descale
+# between them. The matmuls run on the MXU as f32 with the operands split
+# into 8-bit limbs: every partial product sum stays below 2^24, so f32
+# accumulation is exact, and the int32 recombination (shifts + adds with
+# two's-complement wrap) reproduces the butterfly's value mod 2^32 — which
+# is exactly what the int32 butterfly itself computes. The device kernel
+# (ops/fused.py) and the golden decoder therefore remain bit-identical,
+# including on streams that wrap int32.
+# ---------------------------------------------------------------------------
+
+
+def _pass_matrix():
+    """The 8-point pass as its pre-descale integer matrix M (|entries| < 2^15
+    — the FIX constants and their sums)."""
+    import numpy as np
+
+    basis = [np.eye(8, dtype=np.int64)[j] for j in range(8)]
+    return np.stack(idct_1d(basis, None))  # M[i, j]: out i <- in j
+
+
+def pass_operators():
+    """``(T1z, T2)`` int64 64-point operators: pass 1 over columns with the
+    zigzag deswizzle folded in (input is the z-major coefficient vector),
+    pass 2 over rows. Natural-order index n = 8*r + c."""
+    import numpy as np
+
+    from ..tables import ZIGZAG
+
+    M = _pass_matrix()
+    eye = np.eye(8, dtype=np.int64)
+    T1 = np.kron(M, eye)  # columns: out (r, c) <- sum_r' M[r, r'] in (r', c)
+    Z = np.zeros((64, 64), dtype=np.int64)
+    for n in range(64):
+        Z[n, int(ZIGZAG[n])] = 1  # natural n reads zigzag slot ZIGZAG[n]
+    T2 = np.kron(eye, M)  # rows: out (r, c) <- sum_c' M[c, c'] in (r, c')
+    return T1 @ Z, T2
+
+
+def mxu_operators():
+    """Stacked 8-bit-limb pass operators ``[2, 128, 64]`` f32 for the MXU
+    exact-IDCT path: ``ops[p] = concat([T >> 8, T & 255])`` for pass p. The
+    high limb is in [-102, 102] and the low limb in [0, 255], so products
+    against <= 13-bit input limbs accumulate exactly in f32."""
+    import numpy as np
+
+    ops = []
+    for T in pass_operators():
+        ops.append(
+            np.concatenate([T >> 8, T & 255], axis=0).astype(np.float32)
+        )
+    return np.stack(ops)
