@@ -134,19 +134,41 @@ class Pool {
   // Run f(0..n-1) across the workers; blocks until all complete.
   // Serialized: callers from multiple host threads queue here (the decoder
   // pipelines frame preparation across Python worker threads).
+  //
+  // The CALLER claims tasks too: on this virtualized host an idle vCPU can
+  // take milliseconds to wake, so a run that merely notifies the workers
+  // and blocks is often SLOWER than single-threaded (measured 2x). With
+  // caller participation the run degrades gracefully to inline execution
+  // when workers wake late — they just find less work left.
   void run(int n, const std::function<void(int)>& f) {
     if (n <= 1) {
       f(0);
       return;
     }
     std::lock_guard<std::mutex> outer(run_m_);
-    std::unique_lock<std::mutex> lk(m_);
-    task_ = &f;
-    ntask_ = n;
-    next_ = 0;
-    pending_ = n;
-    gen_++;
+    {
+      std::lock_guard<std::mutex> lk(m_);
+      task_ = &f;
+      ntask_ = n;
+      next_ = 0;
+      pending_ = n;
+      gen_++;
+    }
     cv_.notify_all();
+    for (;;) {
+      int idx;
+      {
+        std::lock_guard<std::mutex> lk(m_);
+        if (next_ >= ntask_) break;
+        idx = next_++;
+      }
+      f(idx);
+      {
+        std::lock_guard<std::mutex> lk(m_);
+        if (--pending_ == 0) done_cv_.notify_all();
+      }
+    }
+    std::unique_lock<std::mutex> lk(m_);
     done_cv_.wait(lk, [&] { return pending_ == 0; });
     task_ = nullptr;
   }
@@ -379,18 +401,58 @@ int64_t pack_segment(const uint8_t* scan, SegSpan span, uint32_t* words,
 
 namespace {
 
+#if defined(__AVX2__)
+// kLenTab + (32 - n) loads a byte mask whose first n bytes are 0xFF.
+alignas(32) static const uint8_t kLenTab[64] = {
+    0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF,
+    0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF,
+    0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF,
+    0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF,
+    0,    0,    0,    0,    0,    0,    0,    0,
+    0,    0,    0,    0,    0,    0,    0,    0,
+    0,    0,    0,    0,    0,    0,    0,    0,
+    0,    0,    0,    0,    0,    0,    0,    0};
+#endif
+
 // Pack one segment into a contiguous row of W MSB-first words, zeroing the
 // row's padding tail (so callers need no bulk memset of the words buffer).
+// `safe_end` is the number of bytes readable from `scan` (the fast path
+// overreads up to 31 bytes past the span, never past safe_end).
 // Returns destuffed byte count or -1 on overflow.
 //
-// Fast path: 8 raw bytes at a time with an inline any-byte-is-FF check —
-// segments average a few dozen bytes and most contain no 0xFF at all, so a
-// per-segment memchr call would cost more than the copy itself.
+// Fast path: segments average a few dozen bytes and are overwhelmingly
+// FF-free, so one 32-byte masked load + FF movemask + per-u32 byte-reverse
+// shuffle + one store covers the whole segment; the 8-byte word loop below
+// handles longer segments, and the byte loop destuffs when an FF appears.
 int64_t pack_segment_row(const uint8_t* scan, SegSpan span, uint32_t* row,
-                         int64_t W) {
+                         int64_t W, int64_t safe_end) {
   const int64_t max_bytes = W * 4;
   const int64_t raw = span.end - span.begin;
   const uint8_t* src = scan + span.begin;
+#if defined(__AVX2__)
+  if (raw <= 32 && max_bytes >= 32 && span.begin + 32 <= safe_end) {
+    const __m256i v =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(src));
+    const uint32_t ffm = static_cast<uint32_t>(_mm256_movemask_epi8(
+        _mm256_cmpeq_epi8(v, _mm256_set1_epi8(static_cast<char>(0xFF)))));
+    const uint32_t lenm =
+        raw >= 32 ? 0xFFFFFFFFu : ((1u << raw) - 1u);
+    if ((ffm & lenm) == 0) {
+      const __m256i keep = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(kLenTab + 32 - raw));
+      const __m256i bswap = _mm256_setr_epi8(
+          3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12,
+          3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12);
+      _mm256_storeu_si256(
+          reinterpret_cast<__m256i*>(row),
+          _mm256_shuffle_epi8(_mm256_and_si256(v, keep), bswap));
+      for (int64_t k = 8; k < W; k++) row[k] = 0;
+      return raw;
+    }
+  }
+#else
+  (void)safe_end;
+#endif
   int64_t i = 0, w = 0;
   while (i + 8 <= raw) {
     uint64_t v;
@@ -461,8 +523,12 @@ int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
   }
 
   int rc = 0;
-  std::vector<int> rcs(nt, 0);
-  int64_t chunk = (nseg + nt - 1) / nt;
+  const int64_t safe = data_len - offset;
+  // Tasks are finer than the executor count so late-waking pool workers
+  // (vCPU wakeup here is ms-scale) still load-balance with the caller.
+  const int ntasks = nt > 1 ? nt * 4 : 1;
+  std::vector<int> rcs(ntasks, 0);
+  int64_t chunk = (nseg + ntasks - 1) / ntasks;
   auto work = [&](int t) {
     // pack_segment_row zeroes each row's padding tail, so no bulk memset.
     int64_t lo = t * chunk, hi = std::min<int64_t>(nseg, lo + chunk);
@@ -474,14 +540,15 @@ int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
                   kLanes +
               (sc & 127);
       }
-      if (row >= total || pack_segment_row(scan, spans[s], words + row * W, W) < 0) {
+      if (row >= total ||
+          pack_segment_row(scan, spans[s], words + row * W, W, safe) < 0) {
         rcs[t] = -2;
         return;
       }
       active[row] = 1;
     }
   };
-  Pool::instance().run(nt, work);
+  Pool::instance().run(ntasks, work);
   for (int r : rcs)
     if (r) rc = r;
   // Zero padding rows (contiguous tail in the linear layout).
@@ -516,39 +583,48 @@ int compeg_pack_blocks(const uint8_t* data, int64_t data_len, int64_t offset,
   // thread-local [1024, W] row buffer, then transpose into [W, 8, 128]
   // (inner loop writes 512-byte contiguous lane runs).
   const bool tiled = tile_spr > 0 && tile_ntc > 0;
-  std::vector<int> rcs(nt, 0);
-  auto work = [&](int t) {
-    std::vector<uint32_t> buf(static_cast<size_t>(kSegsPerBlock) * W);
-    for (int64_t g = t; g < G; g += nt) {
-      int32_t* act = active + g * kSegsPerBlock;
-      for (int64_t r = 0; r < kSegsPerBlock; r++) {
-        int64_t seg;
-        if (tiled) {
-          // Inverse of the tiled slot map: block g = (tr, tc); slot (s, l)
-          // -> MCU row tr*8+s, segment column tc*128+l.
-          const int64_t ntc = tile_ntc;
-          const int64_t mr = (g / ntc) * kSublanes + (r >> 7);
-          const int64_t sc = (g % ntc) * kLanes + (r & 127);
-          seg = (sc < tile_spr) ? mr * tile_spr + sc : -1;
-        } else {
-          seg = g * kSegsPerBlock + r;
-        }
-        if (seg < 0 || seg >= nseg) {
-          std::memset(buf.data() + r * W, 0, sizeof(uint32_t) * W);
-          act[r] = 0;
-          continue;
-        }
-        if (pack_segment_row(scan, spans[seg], buf.data() + r * W, W) < 0) {
-          rcs[t] = -2;
-          return;
-        }
-        act[r] = 1;
+  const int64_t safe = data_len - offset;
+  // One task per block: fine-grained tasks let the caller and late-waking
+  // pool workers (vCPU wakeup here is ms-scale) load-balance naturally.
+  std::vector<int> rcs(static_cast<size_t>(G), 0);
+  auto work = [&](int g64) {
+    const int64_t g = g64;
+    // Per-OS-thread row staging buffer, reused across tasks and calls.
+    thread_local std::vector<uint32_t> buf;
+    buf.resize(static_cast<size_t>(kSegsPerBlock) * W);
+    int32_t* act = active + g * kSegsPerBlock;
+    for (int64_t r = 0; r < kSegsPerBlock; r++) {
+      int64_t seg;
+      if (tiled) {
+        // Inverse of the tiled slot map: block g = (tr, tc); slot (s, l)
+        // -> MCU row tr*8+s, segment column tc*128+l.
+        const int64_t ntc = tile_ntc;
+        const int64_t mr = (g / ntc) * kSublanes + (r >> 7);
+        const int64_t sc = (g % ntc) * kLanes + (r & 127);
+        seg = (sc < tile_spr) ? mr * tile_spr + sc : -1;
+      } else {
+        seg = g * kSegsPerBlock + r;
       }
-      uint32_t* out = words + g * static_cast<int64_t>(W) * kSegsPerBlock;
-      transpose_rows_to_cols(buf.data(), kSegsPerBlock, W, out);
+      if (seg < 0 || seg >= nseg) {
+        std::memset(buf.data() + r * W, 0, sizeof(uint32_t) * W);
+        act[r] = 0;
+        continue;
+      }
+      if (pack_segment_row(scan, spans[seg], buf.data() + r * W, W, safe) <
+          0) {
+        rcs[g] = -2;
+        return;
+      }
+      act[r] = 1;
     }
+    uint32_t* out = words + g * static_cast<int64_t>(W) * kSegsPerBlock;
+    transpose_rows_to_cols(buf.data(), kSegsPerBlock, W, out);
   };
-  Pool::instance().run(nt, work);
+  if (nt <= 1) {
+    for (int64_t g = 0; g < G; g++) work(static_cast<int>(g));
+  } else {
+    Pool::instance().run(static_cast<int>(G), work);
+  }
   for (int r : rcs)
     if (r) return r;
   return 0;
