@@ -158,3 +158,86 @@ def test_pack_blocks_tiled_matches_pack_rows(test_image):
     ref = rows.reshape(tm.num_blocks, 8, 128, w).transpose(0, 3, 1, 2)
     assert np.array_equal(blocks, ref)
     assert np.array_equal(active_b, active_r)
+
+
+def _synthetic_scan(seg_lens, stuff_positions=()):
+    """Build scan bytes with segments of the given destuffed lengths joined
+    by RST markers. ``stuff_positions`` maps segment index -> byte offsets at
+    which to place a stuffed 0xFF (encoded as FF 00 in the raw stream)."""
+    rng = np.random.default_rng(42)
+    raw = []
+    for i, ln in enumerate(seg_lens):
+        body = rng.integers(0, 255, ln, dtype=np.uint8)  # 0..254: no bare FF
+        for off in dict(stuff_positions).get(i, ()):
+            if off < ln:
+                body[off] = 0xFF
+        stuffed = []
+        for b in body.tolist():
+            stuffed.append(b)
+            if b == 0xFF:
+                stuffed.append(0x00)
+        raw.append(bytes(stuffed))
+        if i + 1 < len(seg_lens):
+            raw.append(bytes([0xFF, 0xD0 + (i % 8)]))
+    return b"".join(raw)
+
+
+def test_pack_rows_fast_path_edges():
+    """Per-segment AVX2 fast path: lengths around the 32-byte single-load
+    boundary, stuffed-FF fallbacks, and the overread guard at the very end
+    of the input buffer (the last segment ends flush with the data)."""
+    seg_lens = [0, 1, 3, 4, 31, 32, 33, 36, 26, 30, 32, 31]
+    stuffs = {8: (0,), 9: (29,), 10: (31,), 11: (30,)}
+    scan = _synthetic_scan(seg_lens, stuffs)
+    n = len(seg_lens)
+    segs = S.split_intervals(scan, n)
+    assert [len(s) for s in segs] == seg_lens
+    w = S._words_per_segment(max(seg_lens))
+    g = -(-n // S.SEGMENTS_PER_BLOCK)
+    py = S.to_device_layout(segs, w)
+    rows_py = np.ascontiguousarray(
+        py.words.transpose(0, 2, 3, 1).reshape(-1, w)
+    )
+    for nt in (1, 4):
+        rows, active = native.pack_rows(scan, n, w, g, n_threads=nt)
+        assert np.array_equal(rows, rows_py)
+        assert np.array_equal(active, py.active)
+        words, active_b = native.pack_blocks(scan, n, w, g, n_threads=nt)
+        assert np.array_equal(words, py.words)
+        assert np.array_equal(active_b, py.active)
+
+
+def test_pack_rows_narrow_width_no_fast_path():
+    """W < 8 rows (max segment <= ~20 bytes) must not take the 32-byte
+    store (it would overrun the row) — byte-exact vs the oracle."""
+    seg_lens = [8, 12, 17, 20, 5, 20]
+    scan = _synthetic_scan(seg_lens)
+    n = len(seg_lens)
+    segs = S.split_intervals(scan, n)
+    w = S._words_per_segment(max(seg_lens))
+    assert w < 8
+    g = -(-n // S.SEGMENTS_PER_BLOCK)
+    py = S.to_device_layout(segs, w)
+    words, active = native.pack_blocks(scan, n, w, g, n_threads=1)
+    assert np.array_equal(words, py.words)
+    assert np.array_equal(active, py.active)
+
+
+def test_pack_offset_window_overread_guard():
+    """The fast path may read up to 31 bytes past a span but never past the
+    whole data buffer: pack a scan whose window sits at the end of a larger
+    buffer and at the exact buffer end."""
+    seg_lens = [26, 32, 24]
+    scan = _synthetic_scan(seg_lens)
+    n = len(seg_lens)
+    segs = S.split_intervals(scan, n)
+    w = S._words_per_segment(max(seg_lens))
+    g = -(-n // S.SEGMENTS_PER_BLOCK)
+    py = S.to_device_layout(segs, w)
+    prefix = b"\x11" * 97
+    data = prefix + scan  # scan flush against the end of the buffer
+    words, active = native.pack_blocks(
+        data, n, w, g, offset=len(prefix), length=len(scan), n_threads=1
+    )
+    assert np.array_equal(words, py.words)
+    assert np.array_equal(active, py.active)
