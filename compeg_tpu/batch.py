@@ -71,6 +71,7 @@ def decode_batch_fused(
         # slower: 7D batched transposes).
         slabs = F.fused_decode_planes(
             _as_blocks(words), seg_mcus, idct_l, plan, geom.samplings,
+            (batch * geom.tiling[0], geom.tiling[1]),
             retained, interpret, exact_idct,
         )
         # Per-frame assembly + finalize graphs inside the one jit: each
@@ -81,12 +82,12 @@ def decode_batch_fused(
         # convert passes; tall stacked finalize ~4x: the crop + reshape
         # seam defeated elementwise fusion; batched flat assembly ~2x: the
         # [:, :H, :W] crop materialized as a separate slice pass).
-        g1 = plan.num_blocks // batch
+        n_tr1 = geom.tiling[0]  # tile-rows per frame (slab dim 0 stacks them)
         outs = []
         for i in range(batch):
             planes_i = tuple(
                 F.assemble_plane_tiled(
-                    s[i * g1 : (i + 1) * g1], geom, sh, sv
+                    s[i * n_tr1 : (i + 1) * n_tr1], geom, sh, sv
                 )
                 for s, (sh, sv) in zip(slabs, geom.samplings)
             )

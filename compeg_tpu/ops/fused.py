@@ -24,7 +24,7 @@ single u32 transpose.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +62,7 @@ def _slot_layout(samplings):
 def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
                        unroll: int = 4, exact_idct: bool = False,
                        tiled: bool = False, planes: bool = False,
+                       flat: bool = False,
                        precision: str = "highest", _ablate: str = ""):
     W = plan.words_per_segment
     dus = plan.dus_per_mcu
@@ -356,7 +357,14 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
                             px = px << (8 * b) if b else px
                             word = px if word is None else word | px
                         rows.append(jax.lax.bitcast_convert_type(word, U32))
-                    out_refs[ci][0, 0, xq] = jnp.stack(rows, axis=1).reshape(
+                    # Block shape (1, RT, wq*L): word column xq goes to lane
+                    # slice [xq*L, (xq+1)*L) — a vreg-column store. The
+                    # out_spec index_map already places this block at its
+                    # raster tile-row/column, so XLA-side assembly is only
+                    # the (m,q)/lane minor swap (assemble_plane_tiled).
+                    out_refs[ci][
+                        0, :, xq * LANES:(xq + 1) * LANES
+                    ] = jnp.stack(rows, axis=1).reshape(
                         SUBLANES * rows_per, LANES
                     )
         elif tiled:
@@ -368,9 +376,16 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
             # XLA minor transpose (assemble_image_tiled).
             for x in range(mw):
                 rows = [rgba_at(r, x) for r in range(mh)]
-                out_ref[0, 0, x] = jnp.stack(rows, axis=1).reshape(
+                stacked = jnp.stack(rows, axis=1).reshape(
                     SUBLANES * mh, LANES
                 )
+                if flat:
+                    # Raster-placed block (1, RT, mw*L): the out_spec
+                    # index_map puts this block at its tile position, so
+                    # assembly is only the minor-pair lane swap.
+                    out_ref[0, :, x * LANES:(x + 1) * LANES] = stacked
+                else:
+                    out_ref[0, 0, x] = stacked
         else:
             for r in range(mh):
                 for x in range(mw):
@@ -383,7 +398,7 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
     jax.jit,
     static_argnames=(
         "plan", "samplings", "retained", "interpret", "exact_idct", "tiled",
-        "precision", "_ablate",
+        "tiling", "precision", "_ablate",
     ),
 )
 def fused_decode_blocks(
@@ -399,14 +414,18 @@ def fused_decode_blocks(
     interpret: bool = False,
     exact_idct: bool = False,
     tiled: bool = False,
+    tiling: Optional[Tuple[int, int]] = None,
     precision: str = "highest",
     _ablate: str = "",
 ) -> jax.Array:
     """Full fused decode, packed RGBA (r | g<<8 | b<<16 | a<<24) u32.
 
-    Returns segment-major ``[G, RI, mcu_h, mcu_w, 8, 128]`` by default, or
-    the raster-tiled slab layout ``[G, RI, mcu_w, 8*mcu_h, 128]`` (rows are
-    raster rows of the block's 8-MCU-row tile) when ``tiled``."""
+    Returns segment-major ``[G, RI, mcu_h, mcu_w, 8, 128]`` by default, or —
+    when ``tiled`` — a raster-tiled slab: with ``tiling=(n_tr, n_tc)`` the
+    raster-placed form ``[n_tr, 8*mcu_h, n_tc*RI*mcu_w*128]`` (out_spec
+    index_map places blocks at their tile positions; assembly is one
+    minor-pair swap), else the legacy per-block form
+    ``[G, RI, mcu_w, 8*mcu_h, 128]`` (kept for the A/B tools)."""
     G = plan.num_blocks
     W = plan.words_per_segment
     dus = plan.dus_per_mcu
@@ -416,8 +435,22 @@ def fused_decode_blocks(
     kernel = _make_fused_kernel(plan, samplings, retained,
                                 unroll=1 if interpret else 8,
                                 exact_idct=exact_idct, tiled=tiled,
+                                flat=tiling is not None,
                                 precision=precision, _ablate=_ablate)
-    if tiled:
+    if tiled and tiling is not None:
+        n_tr, n_tc = tiling
+        if n_tr * n_tc != G:
+            raise ValueError(f"tiling {tiling} does not cover {G} blocks")
+        ri = plan.ri
+        out_specs = pl.BlockSpec(
+            (1, SUBLANES * mh, mw * LANES),
+            lambda g, m: (g // n_tc, 0, (g % n_tc) * ri + m),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (n_tr, SUBLANES * mh, n_tc * plan.ri * mw * LANES), U32
+        )
+    elif tiled:
         out_specs = pl.BlockSpec(
             (1, 1, mw, SUBLANES * mh, LANES),
             lambda g, m: (g, m, 0, 0, 0),
@@ -489,17 +522,23 @@ def assemble_image(blocks: jax.Array, geom) -> jax.Array:
 
 
 def assemble_image_tiled(slabs: jax.Array, geom) -> jax.Array:
-    """Raster-tiled kernel slabs ``[G, RI, mw, RT, L]`` -> raster ``[H, W]``.
+    """Raster-tiled kernel slabs -> raster ``[H, W]`` packed RGBA u32.
 
-    With the :class:`~compeg_tpu.scan.TileMap` slot assignment plus the
-    kernel's in-VMEM sublane interleave (rows of a slab are already raster
-    rows ``s*mh + r`` of the 8-MCU-row tile), the only remaining data
-    movement is ONE minor-pair XLA transpose hoisting the in-MCU column x
-    behind the lane dim — measured ~0.29 ms for a 4K frame vs ~0.9 ms for
-    round 1's MCU-grid transposes — then a free reshape and the crop.
+    Raster-placed 3-d slabs ``[n_tr, RT, n_tc*RI*mw*L]`` (fused_decode_blocks
+    with ``tiling``) need only the per-tile-column ``(RI*mw, lane)``
+    minor-pair swap + crop — the out_spec index_map already did the tile
+    placement. Legacy 5-d slabs ``[G, RI, mw, RT, L]`` take the round-2
+    6-dim strided transpose (kept for the A/B tools).
 
     Raster row = tr*RT + rt; col = ((tc*128 + lane)*RI + m)*mw + x.
     """
+    if slabs.ndim == 3:
+        n_tr, RT, M = slabs.shape
+        n_tc = geom.tiling[1]
+        rimw = M // (n_tc * LANES)
+        z = slabs.reshape(n_tr * RT, n_tc, rimw, LANES)
+        img = z.swapaxes(2, 3).reshape(n_tr * RT, M)
+        return img[: geom.height, : geom.width]
     G, RI, mw, RT, L = slabs.shape
     n_tr, n_tc = geom.tiling
     z = slabs.reshape(n_tr, n_tc, RI, mw, RT, L)
@@ -511,7 +550,7 @@ def assemble_image_tiled(slabs: jax.Array, geom) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "plan", "samplings", "retained", "interpret", "exact_idct",
+        "plan", "samplings", "tiling", "retained", "interpret", "exact_idct",
         "precision",
     ),
 )
@@ -521,39 +560,54 @@ def fused_decode_planes(
     idct_l: jax.Array,
     plan: EntropyPlan,
     samplings: Tuple[Tuple[int, int], ...],
+    tiling: Tuple[int, int],
     retained: int = 64,
     interpret: bool = False,
     exact_idct: bool = False,
     precision: str = "highest",
 ) -> Tuple[jax.Array, ...]:
-    """Fused decode to per-component pixel planes (raster-tiled slabs).
+    """Fused decode to per-component pixel planes (raster-placed slabs).
 
-    Returns one uint32 slab ``[G, RI, 2*h, SUBLANES*8*v, 128]`` per component
-    (rows are raster rows of the block's 8-MCU-row tile at the component's
-    resolution; each u32 byte-packs 4 consecutive x-pixels, byte ``b`` =
-    pixel ``4q+b``). Requires the raster-tiled slot assignment. This is the
-    fast path for fancy (triangle-filter) chroma upsampling, which needs
-    raster-space neighbors and therefore cannot composite in-kernel."""
+    Returns one uint32 slab ``[n_tr, SUBLANES*8*v, n_tc*RI*2*h*128]`` per
+    component. ``tiling = (n_tr, n_tc)`` is the raster tile grid (blocks are
+    (tr, tc) row-major, so ``n_tr * n_tc == plan.num_blocks``). Rows are
+    raster rows at the component's resolution; the minor dim nests
+    ``(tc, m, q, lane)`` with each u32 byte-packing 4 consecutive x-pixels
+    (byte ``b`` = pixel ``4q+b``). The out_spec index_map places every
+    (block, MCU) directly at its raster tile position, so host-side assembly
+    (assemble_plane_tiled) is a single (RI*wq, lane) minor-pair swap + crop
+    instead of round 2's 6-dim strided transpose. Requires the raster-tiled
+    slot assignment. This is the fast path for fancy (triangle-filter)
+    chroma upsampling, which needs raster-space neighbors and therefore
+    cannot composite in-kernel."""
     G = plan.num_blocks
     W = plan.words_per_segment
     dus = plan.dus_per_mcu
+    n_tr, n_tc = tiling
+    if n_tr * n_tc != G:
+        raise ValueError(f"tiling {tiling} does not cover {G} blocks")
     kernel = _make_fused_kernel(plan, samplings, retained,
                                 unroll=1 if interpret else 8,
                                 exact_idct=exact_idct, tiled=True,
                                 planes=True, precision=precision)
+    ri = plan.ri
+
+    def _index_map(g, m):
+        return (g // n_tc, 0, (g % n_tc) * ri + m)
+
     out_specs = []
     out_shape = []
     for (h, v) in samplings:
         out_specs.append(
             pl.BlockSpec(
-                (1, 1, 2 * h, SUBLANES * 8 * v, LANES),
-                lambda g, m: (g, m, 0, 0, 0),
+                (1, SUBLANES * 8 * v, 2 * h * LANES),
+                _index_map,
                 memory_space=pltpu.VMEM,
             )
         )
         out_shape.append(
             jax.ShapeDtypeStruct(
-                (G, plan.ri, 2 * h, SUBLANES * 8 * v, LANES), U32
+                (n_tr, SUBLANES * 8 * v, n_tc * ri * 2 * h * LANES), U32
             )
         )
     in_specs = [
@@ -596,19 +650,23 @@ def fused_decode_planes(
 
 
 def assemble_plane_tiled(slab: jax.Array, geom, sh: int, sv: int) -> jax.Array:
-    """One component's tiled slabs -> its raster plane (component res,
-    4 x-pixels byte-packed per u32 element).
+    """One component's raster-placed slab -> its raster plane (component
+    res, 4 x-pixels byte-packed per u32 element).
 
-    Same single minor-pair transpose as :func:`assemble_image_tiled`; the
-    crop is to the component's *content* size (``height_mcus*8*v`` x
-    ``width_mcus*8*h / 4`` packed words — always integral since MCU columns
-    are 8 or 16 pixels) so the triangle filter's edge clamping sees the same
-    boundary samples as the staged path (ops/color.finalize_rgb)."""
-    G, RI, wq, RT, L = slab.shape
-    n_tr, n_tc = geom.tiling
-    z = slab.reshape(n_tr, n_tc, RI, wq, RT, L)
-    z = z.transpose(0, 4, 1, 5, 2, 3)  # [n_tr, RT, n_tc, L, RI, wq]
-    img = z.reshape(n_tr * RT, n_tc * L * RI * wq)
+    The kernel's out_spec already placed rows/tile-columns at raster
+    positions (fused_decode_planes), so the only data movement left is the
+    per-tile-column ``(RI*wq, lane)`` minor-pair swap hoisting the lane
+    (segment) index above the in-segment word index. The crop is to the
+    component's *content* size (``height_mcus*8*v`` x ``width_mcus*8*h / 4``
+    packed words — always integral since MCU columns are 8 or 16 pixels) so
+    the triangle filter's edge clamping sees the same boundary samples as
+    the staged path (ops/color.finalize_rgb)."""
+    n_tr, RT, M = slab.shape
+    n_tc = geom.tiling[1]
+    riwq = M // (n_tc * LANES)
+    z = slab.reshape(n_tr * RT, n_tc, riwq, LANES)
+    z = z.swapaxes(2, 3)  # [rows, n_tc, L, RI*wq]
+    img = z.reshape(n_tr * RT, M)
     return img[: geom.height_mcus * 8 * sv, : geom.width_mcus * 8 * sh // 4]
 
 

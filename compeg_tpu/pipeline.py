@@ -131,6 +131,7 @@ def decode_frame_fused(
     blocks = F.fused_decode_blocks(
         _as_blocks(words), seg_mcus, idct_l, plan, geom.samplings,
         retained, interpret, exact_idct, tiled=geom.tiling is not None,
+        tiling=geom.tiling,
     )
     return F.assemble_image(blocks, geom)
 
@@ -164,7 +165,7 @@ def decode_frame_fused_planes(
 
     slabs = F.fused_decode_planes(
         _as_blocks(words), seg_mcus, idct_l, plan, geom.samplings,
-        retained, interpret, exact_idct,
+        geom.tiling, retained, interpret, exact_idct,
     )
     planes = tuple(
         F.assemble_plane_tiled(s, geom, sh, sv)

@@ -77,7 +77,8 @@ def kernel_time(tag, fn):
 
 
 kernel_time("planes", lambda: F.fused_decode_planes(
-    pf.words, pf.seg_mcus, paired, pf.plan, pf.geom.samplings))
+    pf.words, pf.seg_mcus, paired, pf.plan, pf.geom.samplings,
+    pf.geom.tiling))
 kernel_time("paired", lambda: F.fused_decode_blocks(
     pf.words, pf.seg_mcus, paired, pf.plan, pf.geom.samplings, tiled=True))
 kernel_time("unpaired", lambda: F.fused_decode_blocks(
