@@ -120,6 +120,8 @@ SAMPLING_PRESETS = {
     "444": ((1, 1), (1, 1), (1, 1)),
     "422": ((2, 1), (1, 1), (1, 1)),
     "420": ((2, 2), (1, 1), (1, 1)),
+    "440": ((1, 2), (1, 1), (1, 1)),
+    "411": ((4, 1), (1, 1), (1, 1)),
     "gray": ((1, 1),),
 }
 

@@ -109,6 +109,8 @@ SUPPORTED_SAMPLINGS = {
     ((2, 1), (1, 1), (1, 1)),  # 4:2:2 — the reference's envelope
     ((1, 1), (1, 1), (1, 1)),  # 4:4:4
     ((2, 2), (1, 1), (1, 1)),  # 4:2:0
+    ((1, 2), (1, 1), (1, 1)),  # 4:4:0 (vertically subsampled chroma)
+    ((4, 1), (1, 1), (1, 1)),  # 4:1:1 (DV-camera horizontal subsampling)
     ((1, 1),),  # grayscale
 }
 

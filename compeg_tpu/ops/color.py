@@ -33,6 +33,32 @@ def assemble_component_plane(
     return x.reshape(height_mcus * sv * 8, width_mcus * sh * 8)
 
 
+def component_planes(
+    pixels: jax.Array,  # [G, RI, DUS, 64, 8, 128] int32 from idct_pixels
+    *,
+    samplings: Tuple[Tuple[int, int], ...],
+    width_mcus: int,
+    height_mcus: int,
+) -> Tuple[jax.Array, ...]:
+    """Per-component planes at component resolution (no upsampling, no color
+    conversion) from linear-slot decoded pixels."""
+    G, RI, DUS, _, S, L = pixels.shape
+    total_mcus = width_mcus * height_mcus
+    x = pixels.transpose(0, 4, 5, 1, 2, 3).reshape(G * S * L * RI, DUS, 64)
+    x = x[:total_mcus]
+    planes = []
+    slot = 0
+    for (sh, sv) in samplings:
+        ndu = sh * sv
+        planes.append(
+            assemble_component_plane(
+                x[:, slot : slot + ndu, :], width_mcus, height_mcus, sh, sv
+            )
+        )
+        slot += ndu
+    return tuple(planes)
+
+
 def upsample_nearest(plane: jax.Array, fx: int, fy: int) -> jax.Array:
     """Sample replication (the reference's upsampling, src/dct.wgsl:302-313)."""
     if fy > 1:
@@ -154,7 +180,12 @@ def finalize_band(
                 else:
                     plane = upsample_fancy_v(plane)
             if fx > 1:
-                plane = upsample_fancy_h(plane)
+                # Triangle filter is a 2x construct; 4x (4:1:1) replicates,
+                # matching libjpeg (jdsample.c int_upsample for non-2x).
+                plane = (
+                    upsample_fancy_h(plane) if fx == 2
+                    else upsample_nearest(plane, fx, 1)
+                )
         planes.append(plane)
         slot += ndu
 
@@ -202,7 +233,10 @@ def finalize_rgb(
             if fy > 1:
                 plane = upsample_fancy_v(plane)
             if fx > 1:
-                plane = upsample_fancy_h(plane)
+                plane = (
+                    upsample_fancy_h(plane) if fx == 2
+                    else upsample_nearest(plane, fx, 1)
+                )
         planes.append(plane[:height, :width])
         slot += ndu
 

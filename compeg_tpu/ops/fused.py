@@ -738,16 +738,20 @@ def finalize_planes(
     else:
         fx = max_h // samplings[1][0]
         if fx > 1:
-            # Output column stride 8: y sub-planes re-strided to match the
-            # chroma upsampler's output sub-planes (col 8q+c <- y sub c%4 at
-            # word 2q + c//4; chroma sample x = 4q + c//2 <- sub c//2).
-            ys = [comps[0][c % 4][:, (c // 4)::2] for c in range(8)]
-            if fancy:
+            # Output column stride 4*fx: y sub-planes re-strided to match the
+            # chroma upsampler's output sub-planes (col 4*fx*q+c <- y sub c%4
+            # at word fx*q + c//4; chroma sample x = 4q + c//fx <- sub c//fx).
+            n = 4 * fx
+            ys = [comps[0][c % 4][:, (c // 4)::fx] for c in range(n)]
+            if fancy and fx == 2:
                 cbs = _fancy_h_subs(comps[1])
                 crs = _fancy_h_subs(comps[2])
             else:
-                cbs = [comps[1][c // 2] for c in range(8)]
-                crs = [comps[2][c // 2] for c in range(8)]
+                # fx == 4 (4:1:1): sample replication even in fancy mode —
+                # libjpeg's fancy upsampler is defined only for 2x ratios
+                # (jdsample.c routes everything else to int_upsample).
+                cbs = [comps[1][c // fx] for c in range(n)]
+                crs = [comps[2][c // fx] for c in range(n)]
         else:
             ys, cbs, crs = comps[0], comps[1], comps[2]
         rgba_subs = []
@@ -772,4 +776,9 @@ finalize_fancy_planes = finalize_planes
 def rgba_to_rgb_array(img_u32: np.ndarray) -> np.ndarray:
     """[H, W] u32 packed -> [H, W, 3] u8 (host-side view/cast)."""
     v = np.asarray(img_u32)
+    if not v.flags.c_contiguous:
+        # np.asarray on a device array can be a zero-copy strided view when
+        # XLA picked a transposed HBM layout; the u8 view needs the last
+        # axis contiguous.
+        v = np.ascontiguousarray(v)
     return v.view(np.uint8).reshape(v.shape + (4,))[..., :3]

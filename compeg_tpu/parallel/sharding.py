@@ -172,9 +172,7 @@ def decode_batch_sharded(
     if B % n_data or NB % n_seq:
         bail(f"batch {B}x{NB} not divisible by mesh {n_data}x{n_seq}")
 
-    band_h = band_rows * 8 * geom.samplings[0][1] if False else band_rows * (
-        8 * max(s[1] for s in geom.samplings)
-    )
+    band_h = band_rows * 8 * max(s[1] for s in geom.samplings)
     wm = geom.width_mcus
     img_w = wm * 8 * max(s[0] for s in geom.samplings)
 

@@ -182,6 +182,58 @@ def decode_frame_fused_fancy(*args, **kwargs):
     return decode_frame_fused_planes(*args, **kwargs, fancy=True)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "geom", "retained", "interpret", "exact_idct"),
+)
+def decode_frame_component_planes(
+    words: jax.Array,
+    seg_mcus: jax.Array,
+    idct_l: jax.Array,
+    plan: E.EntropyPlan,
+    geom: FrameGeometry,
+    retained: int = 64,
+    interpret: bool = False,
+    exact_idct: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Fused decode to raw per-component planes (no upsampling / color
+    conversion): one byte-packed u32 plane per component at the component's
+    own resolution. Requires the raster-tiled layout."""
+    from .ops import fused as F
+
+    slabs = F.fused_decode_planes(
+        _as_blocks(words), seg_mcus, idct_l, plan, geom.samplings,
+        geom.tiling, retained, interpret, exact_idct,
+    )
+    return tuple(
+        F.assemble_plane_tiled(s, geom, sh, sv)
+        for s, (sh, sv) in zip(slabs, geom.samplings)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("plan", "geom", "retained", "interpret")
+)
+def decode_frame_component_planes_staged(
+    words: jax.Array,
+    seg_mcus: jax.Array,
+    qz_by_slot: jax.Array,
+    plan: E.EntropyPlan,
+    geom: FrameGeometry,
+    retained: int = 64,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Staged-path raw per-component planes (linear slot packing)."""
+    coeffs = E.entropy_decode(_as_blocks(words), seg_mcus, plan, interpret=interpret)
+    pix = D.idct_pixels(coeffs, qz_by_slot, retained)
+    return C.component_planes(
+        pix,
+        samplings=geom.samplings,
+        width_mcus=geom.width_mcus,
+        height_mcus=geom.height_mcus,
+    )
+
+
 @dataclass
 class PreparedFrame:
     """Host-side preprocessing result for one frame — everything the device
@@ -511,12 +563,53 @@ class Decoder:
             _decoder=self,
         )
 
+    def decode_ycbcr(self, data) -> list:
+        """Decode to raw per-component planes — no chroma upsampling, no
+        color conversion: a list of ``[Hc, Wc]`` u8 arrays in frame
+        component order (Y, Cb, Cr; one entry for grayscale). Component
+        dimensions follow T.81 A.1.1 (``ceil(H*v/max_v)`` × ``ceil(W*h/max_h)``).
+
+        This is the natural output for video pipelines that consume YUV
+        directly — an extension over the reference's RGBA-only output
+        (src/lib.rs:48)."""
+        pf = self.prepare(data)
+        img = pf.image
+        max_h = max(s[0] for s in pf.geom.samplings)
+        max_v = max(s[1] for s in pf.geom.samplings)
+        crops = [
+            (-(-img.height * sv // max_v), -(-img.width * sh // max_h))
+            for (sh, sv) in pf.geom.samplings
+        ]
+        if self.fused and pf.geom.tiling is not None:
+            idct_l = self._stream_consts(pf)
+            slabs = decode_frame_component_planes(
+                pf.words, pf.seg_mcus, idct_l, pf.plan, pf.geom,
+                self.retained, self.interpret, self.exact_idct,
+            )
+            out = []
+            for slab, (hc, wc) in zip(slabs, crops):
+                v = np.asarray(slab)  # [rows, words] u32, 4 x-pixels/word
+                if not v.flags.c_contiguous:
+                    v = np.ascontiguousarray(v)
+                out.append(v.view(np.uint8).reshape(v.shape[0], -1)[:hc, :wc])
+            return out
+        planes = decode_frame_component_planes_staged(
+            pf.words, pf.seg_mcus, pf.qz_by_slot, pf.plan, pf.geom,
+            self.retained, self.interpret,
+        )
+        return [
+            np.asarray(p)[:hc, :wc].astype(np.uint8)
+            for p, (hc, wc) in zip(planes, crops)
+        ]
+
     def decode_rgba(self, data) -> np.ndarray:
         """Decode to [H, W, 4] u8 RGBA (alpha=255) — the reference's output
         format (rgba8unorm texture, src/lib.rs:48)."""
         out = self.decode_prepared(self.prepare(data))
         if out.ndim == 2:  # fused paths: packed RGBA u32
             v = np.asarray(out)
+            if not v.flags.c_contiguous:  # XLA may pick a transposed layout
+                v = np.ascontiguousarray(v)
             return v.view(np.uint8).reshape(v.shape + (4,))
         from .ops.color import rgb_to_rgba
 

@@ -21,7 +21,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("input")
     ap.add_argument("output")
-    ap.add_argument("--sampling", default="422", choices=["444", "422", "420", "gray"])
+    ap.add_argument(
+        "--sampling", default="422",
+        choices=["444", "422", "420", "440", "411", "gray"],
+    )
     ap.add_argument("--ri", type=int, default=1, help="restart interval in MCUs (0 = none)")
     ap.add_argument("-q", "--quality", type=int, default=90)
     ap.add_argument(
@@ -35,7 +38,11 @@ def main() -> None:
 
     img = np.asarray(Image.open(args.input).convert("RGB"))
     if args.libjpeg:
-        sub = {"444": "4:4:4", "422": "4:2:2", "420": "4:2:0"}[args.sampling]
+        subs = {"444": "4:4:4", "422": "4:2:2", "420": "4:2:0"}
+        if args.sampling not in subs:
+            ap.error(f"libjpeg cannot encode {args.sampling}; "
+                     "use the built-in encoder")
+        sub = subs[args.sampling]
         Image.fromarray(img).save(
             args.output,
             "JPEG",

@@ -86,9 +86,10 @@ def test_rejects_unsupported_sampling():
     import struct
     def seg(marker, payload):
         return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
-    # 4x1 luma sampling is outside the envelope.
+    # 3x1 luma sampling is outside the envelope (4x1 / 1x2 joined it in
+    # round 2 as 4:1:1 / 4:4:0).
     sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([3]) \
-        + bytes([1, 0x41, 0, 2, 0x11, 1, 3, 0x11, 1])
+        + bytes([1, 0x31, 0, 2, 0x11, 1, 3, 0x11, 1])
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     dqt0 = bytes([0]) + bytes(range(1, 65))
     dqt1 = bytes([1]) + bytes(range(1, 65))

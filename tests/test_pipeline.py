@@ -16,7 +16,7 @@ def assert_close_pixels(got, want, tol=1):
     assert diff.max() <= tol, (diff.max(), np.argwhere(diff > tol)[:5])
 
 
-@pytest.mark.parametrize("sampling", ["422", "444", "420", "gray"])
+@pytest.mark.parametrize("sampling", ["422", "444", "420", "440", "411", "gray"])
 def test_e2e_matches_golden(sampling, test_image):
     img = test_image(24, 40, "gradient")
     data = encoder.encode(img, sampling=sampling, quality=85, restart_interval_mcus=1)
@@ -75,6 +75,57 @@ def test_vs_pillow_e2e(test_image):
     assert mse < 20.0, mse
 
 
+@pytest.mark.parametrize("sampling", ["422", "420", "gray"])
+@pytest.mark.parametrize("fused", [True, False])
+def test_decode_ycbcr_matches_golden(sampling, fused, test_image):
+    """Raw per-component plane output (no upsampling / color conversion)
+    must be byte-identical to the golden decoder's planes on the exact
+    integer path, on both the fused and the staged formulation."""
+    from compeg_tpu.metadata import analyze
+
+    img = test_image(24, 40, "gradient")
+    data = encoder.encode(img, sampling=sampling, quality=85,
+                          restart_interval_mcus=1)
+    dec = Decoder(interpret=True, exact_idct=True, fused=fused)
+    got = dec.decode_ycbcr(data)
+    meta = analyze(data)
+    coeffs = golden.decode_coefficients(meta, dequant=False)
+    # exact_idct rides the fused kernel; the staged formulation keeps the
+    # float IDCT, so its oracle is the float golden with the usual ±1.
+    if fused:
+        pixels = golden.idct_pixels_int(coeffs, meta, 64)
+    else:
+        pixels = golden.idct_pixels_raw(coeffs, meta, 64)
+    want = golden.assemble_planes(meta, pixels)
+    max_h = max(c.h_sample for c in meta.components)
+    max_v = max(c.v_sample for c in meta.components)
+    assert len(got) == len(meta.components)
+    for p, w, c in zip(got, want, meta.components):
+        hc = -(-meta.height * c.v_sample // max_v)
+        wc = -(-meta.width * c.h_sample // max_h)
+        assert p.shape == (hc, wc)
+        if fused:
+            assert np.array_equal(p, w[:hc, :wc])
+        else:
+            assert_close_pixels(p, w[:hc, :wc])
+
+
+@pytest.mark.parametrize("sampling", ["440", "411"])
+def test_extended_samplings_vs_pillow(sampling, test_image):
+    """4:4:0 and 4:1:1 (beyond the reference's 4:2:2-only envelope) against
+    libjpeg as the independent oracle — Pillow decodes both even though it
+    cannot encode them, so the stream comes from our encoder."""
+    import io
+    PIL = pytest.importorskip("PIL.Image")
+    img = test_image(32, 48, "gradient")
+    data = encoder.encode(img, sampling=sampling, quality=95,
+                          restart_interval_mcus=2)
+    ours = decode_rgb(data)
+    theirs = np.asarray(PIL.open(io.BytesIO(data)).convert("RGB"))
+    mse = np.mean((ours.astype(float) - theirs.astype(float)) ** 2)
+    assert mse < 20.0, mse
+
+
 def test_decode_op_async(test_image):
     """start_decode returns an async handle; geometry_changed flags frame
     size changes (the reference's texture_changed contract)."""
@@ -109,7 +160,7 @@ def test_fancy_upsampling_vs_libjpeg(test_image):
     assert np.mean((fancy - theirs) ** 2) < np.mean((near - theirs) ** 2)
 
 
-@pytest.mark.parametrize("sampling", ["422", "420", "444"])
+@pytest.mark.parametrize("sampling", ["422", "420", "444", "440", "411"])
 def test_fancy_fused_matches_staged(sampling, test_image):
     """The fused per-component-plane fancy path (decode_frame_fused_fancy)
     must be bit-identical to the staged fancy path (ops/color), which is

@@ -140,6 +140,12 @@ CORPUS = {
         img(24, 48), sampling="422", restart_interval_mcus=5
     ),
     "no_app0": lambda: encoder.encode(img(8, 16), sampling="422", app0=False),
+    "gradient_440_ri1": lambda: encoder.encode(
+        img(32, 16), sampling="440", quality=85, restart_interval_mcus=1
+    ),
+    "gradient_411_ri2": lambda: encoder.encode(
+        img(16, 64), sampling="411", quality=85, restart_interval_mcus=2
+    ),
     "progressive3": _progressive3,
     "non_interleaved": _non_interleaved,
     "partial_progressive": _partial_progressive,

@@ -35,6 +35,10 @@ def main() -> None:
         ("420", 1, 85, (64, 64)),
         ("420", 5, 85, (96, 128)),
         ("gray", 1, 85, (40, 72)),
+        ("440", 1, 85, (64, 64)),
+        ("440", 3, 75, (96, 80)),
+        ("411", 1, 85, (64, 128)),
+        ("411", 2, 90, (48, 192)),
         ("422", None, 80, (32, 32)),  # no DRI: single giant interval
     ]
     failures = 0
