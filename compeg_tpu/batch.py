@@ -93,13 +93,14 @@ def decode_batch_fused(
             )
             outs.append(
                 F.finalize_planes(
-                    planes_i, geom.samplings, geom.width, geom.height, fancy
+                    planes_i, geom.samplings, geom.width, geom.height, fancy,
+                    rgb=geom.rgb,
                 )
             )
         return jnp.stack(outs)
     blocks = F.fused_decode_blocks(
         _as_blocks(words), seg_mcus, idct_l, plan, geom.samplings,
-        retained, interpret, exact_idct, tiled=False,
+        retained, interpret, exact_idct, tiled=False, rgb=geom.rgb,
     )
     g = blocks.shape[0] // batch
     blocks = blocks.reshape((batch, g) + blocks.shape[1:])
@@ -140,6 +141,7 @@ def decode_batch_device(
             width_mcus=geom.width_mcus,
             height_mcus=geom.height_mcus,
             fancy=fancy,
+            rgb=geom.rgb,
         )
 
     return jax.vmap(one)(pix)
@@ -191,6 +193,7 @@ class BatchDecoder:
             total_mcus=p0.total_mcus,
             dc=p0.dc,
             ac=p0.ac,
+            zrl17=p0.zrl17,
         )
 
     def decode_prepared(self, pfs: Sequence[PreparedFrame]) -> jax.Array:

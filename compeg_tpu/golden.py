@@ -15,7 +15,8 @@ Known conscious divergence from the reference: the reference's ZRL handling
 advances the coefficient position by 17 (``pos += 16`` plus the loop's
 ``pos++``, src/huffman.wgsl:182-185), which drops one position per ZRL
 relative to ITU T.81 / libjpeg semantics (+16). This engine implements the
-spec-correct +16.
+spec-correct +16 by default; pass ``zrl17=True`` (Decoder ``zrl_compat``)
+for the reference's semantics, bit-checkable against this oracle.
 """
 
 from __future__ import annotations
@@ -74,6 +75,7 @@ def decode_segment_coefficients(
     img: ImageData,
     mcus_in_segment: int,
     dequant: bool = True,
+    zrl17: bool = False,
 ) -> np.ndarray:
     """Entropy-decode one restart segment into coefficients.
 
@@ -106,13 +108,20 @@ def decode_segment_coefficients(
                 r.skip(ln)
                 if rs == 0x00:  # EOB
                     break
-                if rs == 0xF0:  # ZRL: 16 zeros (spec semantics; see module doc)
-                    pos += 16
+                if rs == 0xF0:  # ZRL: 16 zeros (spec; +17 in compat mode)
+                    pos += 17 if zrl17 else 16
                     continue
                 rrrr, s = rs >> 4, rs & 0xF
                 pos += rrrr
                 if pos > 63:
-                    bail("AC run past end of block")
+                    if not zrl17:
+                        bail("AC run past end of block")
+                    # Reference semantics: the value bits are consumed but
+                    # the out-of-range write is silently dropped and the
+                    # loop exits (src/huffman.wgsl:188-196).
+                    r.get(s)
+                    pos += 1
+                    continue
                 coeff = huff_extend(r.get(s), s)
                 out[du, pos] = coeff * int(q[pos]) if dequant else coeff
                 pos += 1
@@ -120,7 +129,9 @@ def decode_segment_coefficients(
     return out.astype(np.int32)
 
 
-def decode_coefficients(img: ImageData, dequant: bool = True) -> np.ndarray:
+def decode_coefficients(
+    img: ImageData, dequant: bool = True, zrl17: bool = False
+) -> np.ndarray:
     """Entropy-decode the whole image: ``[total_mcus * dus_per_mcu, 64]``
     int32, zigzag order, MCUs in raster order."""
     segs = split_intervals(img.scan_data, img.total_restart_intervals)
@@ -129,7 +140,7 @@ def decode_coefficients(img: ImageData, dequant: bool = True) -> np.ndarray:
     parts: List[np.ndarray] = []
     for i, seg in enumerate(segs):
         m = min(ri, total - i * ri)
-        parts.append(decode_segment_coefficients(seg, img, m, dequant))
+        parts.append(decode_segment_coefficients(seg, img, m, dequant, zrl17))
     return np.concatenate(parts, axis=0)
 
 
@@ -229,17 +240,21 @@ def ycbcr_to_rgb_reference(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.
 
 
 def decode_rgb(
-    data_or_img, retained_coefficients: int = 64, idct: str = "float"
+    data_or_img,
+    retained_coefficients: int = 64,
+    idct: str = "float",
+    zrl17: bool = False,
 ) -> np.ndarray:
     """Full golden decode: JPEG bytes (or ImageData) -> ``[H, W, 3]`` u8.
 
     Chroma upsampling is nearest-neighbor sample replication, like the
-    reference (src/dct.wgsl:302-313).
+    reference (src/dct.wgsl:302-313). ``zrl17`` selects the reference's
+    ZRL-advance-17 compat semantics (see decode_segment_coefficients).
     """
     from .metadata import analyze
 
     img = data_or_img if isinstance(data_or_img, ImageData) else analyze(data_or_img)
-    coeffs = decode_coefficients(img, dequant=False)
+    coeffs = decode_coefficients(img, dequant=False, zrl17=zrl17)
     if idct == "int":
         pixels = idct_pixels_int(coeffs, img, retained_coefficients)
     else:
@@ -258,4 +273,7 @@ def decode_rgb(
         if fy > 1:
             p = np.repeat(p, fy, axis=0)
         up.append(p[: img.height, : img.width])
+    if img.color_space == "rgb":
+        # Component IDs R,G,B: samples are already RGB (libjpeg semantics).
+        return np.stack(up, axis=-1)
     return ycbcr_to_rgb_reference(up[0], up[1], up[2])

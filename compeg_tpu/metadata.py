@@ -10,7 +10,14 @@ Envelope differences from the reference (deliberate widenings):
  - the reference accepts only 4:2:2 (Y 2x1, C 1x1; src/lib.rs:650-665);
    this engine also accepts 4:4:4 (all 1x1) and 4:2:0 (Y 2x2, C 1x1),
    because the TPU kernels are written against a generic per-MCU DU layout.
- - grayscale (single-component) frames are accepted with a trivial layout.
+ - grayscale (single-component) frames are accepted with a trivial layout;
+   declared sampling factors are ignored (normalized to 1x1), matching
+   libjpeg: a single-component scan's MCU is one data unit and the
+   component spans the full frame regardless of Hi/Vi (T.81 A.2.2 — the
+   reference corpus' blank_800x280.jpg / grayscale_*_sampling2x2.jpg).
+ - three-component frames whose component IDs are 'R','G','B' decode as
+   RGB (no YCbCr conversion), libjpeg's color-space inference for the
+   JFIF-less RGB case (the reference corpus' rgb.jpg).
 Everything else matches: SOF0 only, 8-bit precision, baseline scan header
 Ss=0/Se=63/Ah=Al=0, component order in scan == frame order, 8-bit qtables.
 """
@@ -56,6 +63,9 @@ class ImageData:
     # (the native pack reads straight from `source` at `scan_offset`).
     source: Optional[bytes] = None
     scan_offset: int = 0
+    # "ycbcr" (default), "rgb" (component IDs R,G,B: no color transform,
+    # libjpeg's inference for JFIF-less 3-component frames), or "gray".
+    color_space: str = "ycbcr"
 
     # Derived geometry:
     max_h: int = 0
@@ -102,6 +112,18 @@ def _derive_du_layout(comps: List[ComponentInfo]) -> Tuple[int, ...]:
     for i, c in enumerate(comps):
         layout.extend([i] * (c.h_sample * c.v_sample))
     return tuple(layout)
+
+
+def _infer_color_space(comps: List[ComponentInfo]) -> str:
+    """libjpeg's color-space inference (jdmaster/jdcolor): single component
+    is grayscale; component IDs 'R','G','B' mean the samples are already RGB
+    and no YCbCr->RGB transform applies (reference corpus rgb.jpg); anything
+    else is YCbCr."""
+    if len(comps) == 1:
+        return "gray"
+    if len(comps) == 3 and tuple(c.id for c in comps) == (0x52, 0x47, 0x42):
+        return "rgb"
+    return "ycbcr"
 
 
 SUPPORTED_SAMPLINGS = {
@@ -195,6 +217,12 @@ def _finish_analysis(raw: dict, data: bytes) -> ImageData:
         bail(f"only 8-bit precision is supported, got {raw['precision']}")
     if raw["width"] == 0 or raw["height"] == 0:
         bail("zero image dimension")
+    if len(raw["comps"]) == 1:
+        # Single-component scan: the MCU is one data unit and the component
+        # spans the full frame whatever Hi/Vi declare (T.81 A.2.2, libjpeg
+        # jdinput.c) — normalize the declared sampling to 1x1 so e.g. a
+        # grayscale frame declared 2x2 decodes like libjpeg does.
+        raw["comps"][0]["h"] = raw["comps"][0]["v"] = 1
     sampling = tuple((c["h"], c["v"]) for c in raw["comps"])
     if sampling not in SUPPORTED_SAMPLINGS:
         bail(f"unsupported component sampling {sampling}")
@@ -224,6 +252,7 @@ def _finish_analysis(raw: dict, data: bytes) -> ImageData:
         width=raw["width"],
         height=raw["height"],
         components=comps,
+        color_space=_infer_color_space(comps),
         qtables=raw["qtables"],
         htables=raw["htables"],
         restart_interval=0,
@@ -293,7 +322,11 @@ def _analyze_python(data: bytes) -> ImageData:
         bail(f"only 8-bit precision is supported, got {sof.precision}")
     if sof.width == 0 or sof.height == 0:
         bail("zero image dimension")
-    sampling = tuple((c.h_sample, c.v_sample) for c in sof.components)
+    single = len(sof.components) == 1
+    # Single-component scans ignore declared Hi/Vi (see _finish_analysis).
+    sampling = tuple(
+        (1, 1) if single else (c.h_sample, c.v_sample) for c in sof.components
+    )
     if sampling not in SUPPORTED_SAMPLINGS:
         bail(f"unsupported component sampling {sampling}")
     if sos.ss != 0 or sos.se != 63 or sos.ah != 0 or sos.al != 0:
@@ -311,14 +344,16 @@ def _analyze_python(data: bytes) -> ImageData:
         for cls, slot in ((0, sc.dc_table), (1, sc.ac_table)):
             if (cls, slot) not in htables:
                 bail(f"component references missing huffman table ({cls},{slot})")
+        h, v = (1, 1) if single else (fc.h_sample, fc.v_sample)
         comps.append(
-            ComponentInfo(fc.id, fc.h_sample, fc.v_sample, fc.qtable, sc.dc_table, sc.ac_table)
+            ComponentInfo(fc.id, h, v, fc.qtable, sc.dc_table, sc.ac_table)
         )
 
     img = ImageData(
         width=sof.width,
         height=sof.height,
         components=comps,
+        color_space=_infer_color_space(comps),
         qtables=qtables,
         htables=htables,
         restart_interval=0,

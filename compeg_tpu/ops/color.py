@@ -148,6 +148,7 @@ def finalize_band(
     band_height_mcus: int,
     fancy: bool = False,
     seq_axis: str | None = None,
+    rgb: bool = False,
 ) -> jax.Array:
     """Assemble one MCU-row band into ``[band_h, band_w, 3]`` u8.
 
@@ -192,6 +193,8 @@ def finalize_band(
     if len(planes) == 1:
         yp = jnp.clip(planes[0], 0, 255).astype(jnp.uint8)
         return jnp.stack([yp, yp, yp], axis=-1)
+    if rgb:  # samples are already RGB (component IDs R,G,B): no transform
+        return jnp.clip(jnp.stack(planes, axis=-1), 0, 255).astype(jnp.uint8)
     return ycbcr_to_rgb(planes[0], planes[1], planes[2])
 
 
@@ -206,6 +209,7 @@ def finalize_rgb(
     width_mcus: int,
     height_mcus: int,
     fancy: bool = False,
+    rgb: bool = False,
 ) -> jax.Array:
     """Full finalize: assemble planes, upsample, convert. Returns [H, W, 3] u8.
 
@@ -243,4 +247,6 @@ def finalize_rgb(
     if len(planes) == 1:
         yp = jnp.clip(planes[0], 0, 255).astype(jnp.uint8)
         return jnp.stack([yp, yp, yp], axis=-1)
+    if rgb:  # samples are already RGB (component IDs R,G,B): no transform
+        return jnp.clip(jnp.stack(planes, axis=-1), 0, 255).astype(jnp.uint8)
     return ycbcr_to_rgb(planes[0], planes[1], planes[2])

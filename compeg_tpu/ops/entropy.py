@@ -90,6 +90,11 @@ class EntropyPlan:
     total_mcus: int
     dc: Tuple[TableConsts, ...]  # per component
     ac: Tuple[TableConsts, ...]  # per component
+    # Compeg-compat ZRL: advance 17 positions per ZRL like the reference
+    # (src/huffman.wgsl:182-185: pos += 16 plus the loop's pos++) instead of
+    # the spec/libjpeg 16. Lets decodes be checked bit-exact against the
+    # reference's kernel semantics on ZRL-bearing streams (PARITY.md).
+    zrl17: bool = False
 
     @property
     def dus_per_mcu(self) -> int:
@@ -319,8 +324,11 @@ def _make_kernel(plan: EntropyPlan):
                 is_zrl = mask & (value == 0xF0)
                 # Spec semantics: ZRL commits a 0 sixteen positions on; a
                 # (run, size) symbol commits `coeff` after `run` zeros.
+                # Compat mode (plan.zrl17) drops one extra position per ZRL
+                # like the reference does.
+                zrl_off = 16 if plan.zrl17 else 15
                 nextpos = jnp.where(
-                    is_eob, 64, jnp.where(is_zrl, base + 15, base + rrrr)
+                    is_eob, 64, jnp.where(is_zrl, base + zrl_off, base + rrrr)
                 )
                 nextpos = jnp.minimum(nextpos, 64)
                 nextval = jnp.where(is_eob | is_zrl, 0, coeff)
@@ -371,7 +379,7 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def plan_from_image(img, device_scan) -> EntropyPlan:
+def plan_from_image(img, device_scan, zrl17: bool = False) -> EntropyPlan:
     """Build the kernel's static plan from an analyzed image + packed scan."""
     ncomp = len(img.components)
     return EntropyPlan(
@@ -382,6 +390,7 @@ def plan_from_image(img, device_scan) -> EntropyPlan:
         total_mcus=img.total_mcus,
         dc=tuple(TableConsts.from_table(img.dc_table_for_comp(c)) for c in range(ncomp)),
         ac=tuple(TableConsts.from_table(img.ac_table_for_comp(c)) for c in range(ncomp)),
+        zrl17=zrl17,
     )
 
 

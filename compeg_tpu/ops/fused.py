@@ -62,7 +62,7 @@ def _slot_layout(samplings):
 def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
                        unroll: int = 4, exact_idct: bool = False,
                        tiled: bool = False, planes: bool = False,
-                       flat: bool = False,
+                       flat: bool = False, rgb: bool = False,
                        precision: str = "highest", _ablate: str = ""):
     W = plan.words_per_segment
     dus = plan.dus_per_mcu
@@ -135,8 +135,11 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
                 is_eob = mask & (value == 0)
                 is_zrl = mask & (value == 0xF0)
                 normal = mask & (s != 0)
+                # Compat mode (plan.zrl17): the reference skips 17 positions
+                # per ZRL (src/huffman.wgsl:182-185); spec/libjpeg skip 16.
+                zrl_adv = 17 if plan.zrl17 else 16
                 newpos = jnp.where(
-                    is_zrl, pos + 16, jnp.where(normal, pos + rrrr + 1, pos)
+                    is_zrl, pos + zrl_adv, jnp.where(normal, pos + rrrr + 1, pos)
                 )
                 # Lanes with nothing to write target row 64 (out of range),
                 # so the write predicate folds into the row compare.
@@ -307,6 +310,14 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
             y = coeff_s[yslot, yp]
             if gray:
                 rr = gg = bb = y
+            elif rgb:
+                # Samples are already RGB (component IDs R,G,B): channels map
+                # straight through, nearest-sampled like chroma would be.
+                cs0, ch, cv = layout[1]
+                cp = (r * cv * 8 // mh) * 8 + (x * ch * 8 // mw)
+                rr = y
+                gg = coeff_s[cs0, cp]
+                bb = coeff_s[layout[2][0], cp]
             else:
                 cs0, ch, cv = layout[1]
                 cslot = cs0  # chroma is 1x1 in every supported sampling
@@ -398,7 +409,7 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
     jax.jit,
     static_argnames=(
         "plan", "samplings", "retained", "interpret", "exact_idct", "tiled",
-        "tiling", "precision", "_ablate",
+        "tiling", "precision", "rgb", "_ablate",
     ),
 )
 def fused_decode_blocks(
@@ -416,6 +427,7 @@ def fused_decode_blocks(
     tiled: bool = False,
     tiling: Optional[Tuple[int, int]] = None,
     precision: str = "highest",
+    rgb: bool = False,
     _ablate: str = "",
 ) -> jax.Array:
     """Full fused decode, packed RGBA (r | g<<8 | b<<16 | a<<24) u32.
@@ -435,7 +447,7 @@ def fused_decode_blocks(
     kernel = _make_fused_kernel(plan, samplings, retained,
                                 unroll=1 if interpret else 8,
                                 exact_idct=exact_idct, tiled=tiled,
-                                flat=tiling is not None,
+                                flat=tiling is not None, rgb=rgb,
                                 precision=precision, _ablate=_ablate)
     if tiled and tiling is not None:
         n_tr, n_tc = tiling
@@ -692,12 +704,56 @@ def _fancy_h_subs(subs):
     return out
 
 
+def _upsample_fancy_v_sharded(
+    p: jax.Array,  # [shard_rows, W] int32, one unpacked sub-plane
+    seq_axis: str,
+    rows_per_mcu_row: int,
+    v_rows: Tuple[int, int],  # (total content MCU rows, MCU rows per shard)
+) -> jax.Array:
+    """Vertical x2 triangle-filter upsampling across shard boundaries.
+
+    The neighbor rows adjacent to this shard's band arrive over ICI
+    (``jax.lax.ppermute`` ring shifts — the halo exchange of SURVEY.md §5).
+    Bands cover the image's MCU rows in order, so any padding rows (bands
+    past the image bottom, or a partial last band) form a SUFFIX of the
+    global row space; the ``limit`` mask clamps the filter at the content
+    edge exactly like the single-chip edge clamp, so garbage rows never
+    bleed into real pixels (they still produce garbage output rows, which
+    the caller crops)."""
+    n = jax.lax.axis_size(seq_axis)
+    idx = jax.lax.axis_index(seq_axis)
+    total_mr, shard_mr = v_rows
+    shard = shard_mr * rows_per_mcu_row  # == p.shape[0]
+    total = total_mr * rows_per_mcu_row
+    start = idx * shard
+    valid = jnp.clip(total - start, 0, shard)
+    content_below = (total - start > shard).astype(jnp.int32)
+
+    perm_down = [(i, (i + 1) % n) for i in range(n)]
+    perm_up = [(i, (i - 1) % n) for i in range(n)]
+    from_above = jax.lax.ppermute(p[-1], seq_axis, perm_down)
+    from_below = jax.lax.ppermute(p[0], seq_axis, perm_up)
+    top = jnp.where(idx == 0, p[0], from_above)
+    above = jnp.concatenate([top[None], p[:-1]], axis=0)
+    below = jnp.concatenate([p[1:], from_below[None]], axis=0)
+    # Rows at/past the content edge clamp to themselves (libjpeg edge rule).
+    iota = jnp.arange(p.shape[0], dtype=jnp.int32)[:, None]
+    below = jnp.where(iota < valid - 1 + content_below, below, p)
+    even = (3 * p + above + 1) >> 2
+    odd = (3 * p + below + 2) >> 2
+    h, w = p.shape
+    return jnp.stack([even, odd], axis=1).reshape(2 * h, w)
+
+
 def finalize_planes(
     planes: Tuple[jax.Array, ...],
     samplings: Tuple[Tuple[int, int], ...],
     width: int,
     height: int,
     fancy: bool = True,
+    rgb: bool = False,
+    seq_axis: Optional[str] = None,
+    v_rows: Optional[Tuple[int, int]] = None,
 ) -> jax.Array:
     """Chroma upsample + BT.601 over byte-packed raster planes -> packed
     RGBA u32 ``[H, W]``. ``fancy=True`` is the libjpeg triangle filter
@@ -723,7 +779,14 @@ def finalize_planes(
             for b in range(4)
         ]
         if max_v // sv > 1:
-            if fancy:
+            if fancy and seq_axis is not None:
+                # Sharded: boundary rows arrive over ICI, content-edge
+                # clamped (see _upsample_fancy_v_sharded).
+                subs = [
+                    _upsample_fancy_v_sharded(s, seq_axis, 8 * sv, v_rows)
+                    for s in subs
+                ]
+            elif fancy:
                 subs = [C.upsample_fancy_v(s) for s in subs]
             else:
                 subs = [jnp.repeat(s, 2, axis=0) for s in subs]
@@ -756,11 +819,15 @@ def finalize_planes(
             ys, cbs, crs = comps[0], comps[1], comps[2]
         rgba_subs = []
         for y, cb, cr in zip(ys, cbs, crs):
-            cb = cb - 128
-            cr = cr - 128
-            r = jnp.clip(y + ((45 * cr) >> 5), 0, 255)
-            g = jnp.clip(y - ((11 * cb + 23 * cr) >> 5), 0, 255)
-            b = jnp.clip(y + ((113 * cb) >> 6), 0, 255)
+            if rgb:
+                # Samples already RGB (component IDs R,G,B): no transform.
+                r, g, b = y, cb, cr
+            else:
+                cb = cb - 128
+                cr = cr - 128
+                r = jnp.clip(y + ((45 * cr) >> 5), 0, 255)
+                g = jnp.clip(y - ((11 * cb + 23 * cr) >> 5), 0, 255)
+                b = jnp.clip(y + ((113 * cb) >> 6), 0, 255)
             rgba_subs.append(r | (g << 8) | (b << 16) | jnp.int32(-16777216))
 
     stride = len(rgba_subs)

@@ -46,6 +46,8 @@ class FrameGeometry:
     du_to_comp: Tuple[int, ...]
     ri: int
     tiling: Optional[Tuple[int, int]] = None
+    # Samples are already RGB (component IDs R,G,B): skip the YCbCr matrix.
+    rgb: bool = False
 
     @staticmethod
     def from_image(img: ImageData, tiling: Optional[Tuple[int, int]] = None) -> "FrameGeometry":
@@ -58,6 +60,7 @@ class FrameGeometry:
             du_to_comp=tuple(img.du_to_comp),
             ri=img.restart_interval,
             tiling=tiling,
+            rgb=img.color_space == "rgb",
         )
 
 
@@ -95,6 +98,7 @@ def decode_frame_device(
         width_mcus=geom.width_mcus,
         height_mcus=geom.height_mcus,
         fancy=fancy,
+        rgb=geom.rgb,
     )
 
 
@@ -131,7 +135,7 @@ def decode_frame_fused(
     blocks = F.fused_decode_blocks(
         _as_blocks(words), seg_mcus, idct_l, plan, geom.samplings,
         retained, interpret, exact_idct, tiled=geom.tiling is not None,
-        tiling=geom.tiling,
+        tiling=geom.tiling, rgb=geom.rgb,
     )
     return F.assemble_image(blocks, geom)
 
@@ -172,7 +176,7 @@ def decode_frame_fused_planes(
         for s, (sh, sv) in zip(slabs, geom.samplings)
     )
     return F.finalize_planes(
-        planes, geom.samplings, geom.width, geom.height, fancy
+        planes, geom.samplings, geom.width, geom.height, fancy, rgb=geom.rgb
     )
 
 
@@ -281,7 +285,14 @@ class Decoder:
         exact_idct: bool = False,
         max_device_bytes: int = 8 << 30,
         planes_epilogue: Optional[bool] = None,
+        zrl_compat: bool = False,
     ):
+        # zrl_compat: reproduce the reference's ZRL semantics (position
+        # advance of 17 per ZRL symbol, src/huffman.wgsl:182-185) instead of
+        # the spec/libjpeg 16. Combined with retained_coefficients=32 (the
+        # reference's default) and exact_idct this is the documented
+        # "Compeg-compat" configuration (PARITY.md).
+        self.zrl_compat = zrl_compat
         # planes_epilogue: route the fused kernel through the byte-packed
         # per-component-plane output + XLA epilogue (faster: 4x less slab
         # traffic) instead of the in-kernel RGBA composite. None = auto
@@ -417,7 +428,7 @@ class Decoder:
             )
             dscan = S.DeviceScan(rows, blk.active, blk.num_segments,
                                  blk.words_per_segment)
-        plan = E.plan_from_image(img, dscan)
+        plan = E.plan_from_image(img, dscan, zrl17=self.zrl_compat)
         tiling = (tile.n_tr, tile.n_tc) if tile is not None else None
         # The mask depends on the full MCU-grid shape, not just the MCU
         # count: a 8x2 and a 2x8 grid share (ri, total_mcus, blocks, tiling)
