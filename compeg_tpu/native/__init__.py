@@ -85,6 +85,7 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32,
         ctypes.c_int32,
         ctypes.c_int32,
+        ctypes.c_int32,
     ]
     lib.compeg_pack_blocks.restype = ctypes.c_int
     lib.compeg_pack_blocks.argtypes = list(lib.compeg_pack_rows.argtypes)
@@ -133,7 +134,7 @@ def pack(
     words = np.empty((G, W, 8, 128), dtype=np.uint32)
     active = np.empty((G, 8, 128), dtype=np.int32)
     if n_threads <= 0:
-        n_threads = min(4, os.cpu_count() or 1)
+        n_threads = os.cpu_count() or 1
     rc = lib.compeg_pack(
         scan,
         len(scan),
@@ -199,6 +200,15 @@ def parse(data: bytes) -> CompegImageInfo:
     return info
 
 
+def _tile3(tile) -> Tuple[int, int, int]:
+    """Normalize a tile spec to (segs_per_row, n_tc, band_rows)."""
+    if tile is None:
+        return 0, 0, 0
+    if len(tile) == 2:
+        return tile[0], tile[1], 0
+    return tile[0], tile[1], tile[2]
+
+
 def pack_rows(
     scan: bytes,
     expected: int,
@@ -214,7 +224,8 @@ def pack_rows(
     ``[G, 8, 128]`` active mask. ``scan`` may be the whole file with
     ``offset``/``length`` selecting the entropy-coded span (no slice copy).
     ``tile=(segs_per_row, n_tc)`` applies the raster-tiled slot permutation
-    (:class:`compeg_tpu.scan.TileMap`)."""
+    (:class:`compeg_tpu.scan.TileMap`); a third element ``band_rows``
+    selects the banded tiled layout (sharded decode)."""
     lib = load()
     assert lib is not None
     G, W = num_blocks, words_per_segment
@@ -223,8 +234,8 @@ def pack_rows(
     words = np.empty((G * 1024, W), dtype=np.uint32)
     active = np.empty((G, 8, 128), dtype=np.int32)
     if n_threads <= 0:
-        n_threads = min(4, os.cpu_count() or 1)
-    spr, ntc = tile if tile is not None else (0, 0)
+        n_threads = os.cpu_count() or 1
+    spr, ntc, band_rows = _tile3(tile)
     rc = lib.compeg_pack_rows(
         scan,
         len(scan),
@@ -238,6 +249,7 @@ def pack_rows(
         n_threads,
         spr,
         ntc,
+        band_rows,
     )
     if rc != 0:
         from ..errors import bail
@@ -268,8 +280,8 @@ def pack_blocks(
     words = np.empty((G, W, 8, 128), dtype=np.uint32)
     active = np.empty((G, 8, 128), dtype=np.int32)
     if n_threads <= 0:
-        n_threads = min(4, os.cpu_count() or 1)
-    spr, ntc = tile if tile is not None else (0, 0)
+        n_threads = os.cpu_count() or 1
+    spr, ntc, band_rows = _tile3(tile)
     rc = lib.compeg_pack_blocks(
         scan,
         len(scan),
@@ -283,6 +295,7 @@ def pack_blocks(
         n_threads,
         spr,
         ntc,
+        band_rows,
     )
     if rc != 0:
         from ..errors import bail

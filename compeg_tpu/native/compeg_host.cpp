@@ -14,6 +14,7 @@
 #include <algorithm>
 #include <condition_variable>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <functional>
 #include <mutex>
@@ -126,9 +127,20 @@ class Pool {
  public:
   static Pool& instance() {
     // Intentionally leaked; workers are detached so they never block
-    // process exit and no destructor races them.
-    static Pool* p = new Pool(4);
+    // process exit and no destructor races them. Sized to the machine
+    // (callers participate too, so a stream's prepare threads can keep
+    // every core packing); COMPEG_POOL_WORKERS overrides.
+    static Pool* p = new Pool(default_workers());
     return *p;
+  }
+
+  static int default_workers() {
+    if (const char* env = std::getenv("COMPEG_POOL_WORKERS")) {
+      int n = std::atoi(env);
+      if (n >= 0) return n;
+    }
+    unsigned hw = std::thread::hardware_concurrency();
+    return hw ? static_cast<int>(hw) : 4;
   }
 
   // Run f(0..n-1) across the workers; blocks until all complete.
@@ -227,7 +239,10 @@ extern "C" {
 
 // Scan the entropy-coded data once: count restart intervals and measure the
 // longest destuffed segment. Uses memchr to hop between 0xFF bytes (scan
-// data is overwhelmingly non-FF). Returns 0 on success.
+// data is overwhelmingly non-FF). The buffer may extend past the scan's
+// terminating marker (EOI + trailers): the first FF followed by a real
+// marker (not 00/RST/FF) ends the scan, so callers can pass "rest of file"
+// without a separate find_scan_end pass. Returns 0 on success.
 int compeg_scan_info(const uint8_t* scan, int64_t len, int64_t* n_intervals,
                      int64_t* max_seg_bytes) {
   if (len <= 0) return -1;
@@ -235,7 +250,9 @@ int compeg_scan_info(const uint8_t* scan, int64_t len, int64_t* n_intervals,
   int64_t seg_start = 0;  // raw offset of current segment
   int64_t stuffed = 0;    // stuffing bytes removed so far in this segment
   int64_t mx = 0;
+  int64_t term = -1;  // offset of the scan-terminating marker FF
   visit_ff(scan, 0, len, [&](int64_t i) {
+    if (term >= 0) return;     // past the scan's end
     if (i + 1 >= len) return;  // trailing lone FF is plain data
     uint8_t nxt = scan[i + 1];
     if (nxt == 0x00) {
@@ -246,9 +263,12 @@ int compeg_scan_info(const uint8_t* scan, int64_t len, int64_t* n_intervals,
       count++;
       seg_start = i + 2;
       stuffed = 0;
+    } else if (nxt != 0xFF) {
+      term = i;  // real marker: scan ends here
     }
   });
-  int64_t cur = len - seg_start - stuffed;
+  int64_t end = term >= 0 ? term : len;
+  int64_t cur = end - seg_start - stuffed;
   if (cur > mx) mx = cur;
   *n_intervals = count;
   *max_seg_bytes = mx;
@@ -304,43 +324,70 @@ struct SegSpan {
 // of chunking. The span fill is parallel too (a serial 64k-push_back loop
 // measured ~0.4-0.6 ms on the 4K stream): chunk t's spans start at the
 // marker-count prefix sum, and its first span begins after the previous
-// non-empty chunk's last marker. Returns false on interval-count mismatch.
+// non-empty chunk's last marker.
+//
+// The buffer may extend past the scan's end (EOI + trailers): the first FF
+// followed by a real marker (not 00/RST/FF) terminates the scan, and marks
+// found past it (e.g. RST-looking bytes inside trailing garbage) are
+// dropped. This lets callers pass "rest of file" as the length, removing
+// the separate find_scan_end pass from the per-frame hot path.
+// Returns false on interval-count mismatch.
 bool build_spans(const uint8_t* scan, int64_t len, int64_t expected, int nt,
                  std::vector<SegSpan>& spans) {
   std::vector<std::vector<int64_t>> marks(nt);
+  std::vector<int64_t> terms(nt, -1);  // per-chunk first terminator
   auto find_markers = [&](int t) {
     int64_t lo = len * t / nt, hi = len * (t + 1) / nt;
     auto& out = marks[t];
     out.reserve(static_cast<size_t>(expected) / nt + 8);
+    int64_t term = -1;
     visit_ff(scan, lo, hi, [&](int64_t i) {
-      if (i + 1 >= len) return;
+      if (term >= 0 || i + 1 >= len) return;
       uint8_t nxt = scan[i + 1];
-      if (nxt >= 0xD0 && nxt <= 0xD7) out.push_back(i);
+      if (nxt >= 0xD0 && nxt <= 0xD7)
+        out.push_back(i);
+      else if (nxt != 0x00 && nxt != 0xFF)
+        term = i;
     });
+    terms[t] = term;
   };
   Pool::instance().run(nt, find_markers);
 
-  std::vector<int64_t> base(nt + 1, 0);
+  int64_t term = len;
   for (int t = 0; t < nt; t++)
-    base[t + 1] = base[t] + static_cast<int64_t>(marks[t].size());
+    if (terms[t] >= 0) {
+      term = terms[t];
+      break;
+    }
+  // Drop RST marks at/past the terminator (trailing-garbage lookalikes).
+  std::vector<int64_t> kept(nt);
+  for (int t = 0; t < nt; t++) {
+    auto& m = marks[t];
+    size_t k = m.size();
+    while (k > 0 && m[k - 1] >= term) k--;
+    kept[t] = static_cast<int64_t>(k);
+  }
+
+  std::vector<int64_t> base(nt + 1, 0);
+  for (int t = 0; t < nt; t++) base[t + 1] = base[t] + kept[t];
   if (base[nt] + 1 != expected) return false;
   spans.resize(static_cast<size_t>(expected));
   std::vector<int64_t> first_start(nt, 0);
   int64_t prev_end = 0;
   for (int t = 0; t < nt; t++) {
     first_start[t] = prev_end;
-    if (!marks[t].empty()) prev_end = marks[t].back() + 2;
+    if (kept[t] > 0) prev_end = marks[t][kept[t] - 1] + 2;
   }
   auto fill = [&](int t) {
     int64_t start = first_start[t];
     SegSpan* out = spans.data() + base[t];
-    for (size_t i = 0; i < marks[t].size(); i++) {
+    for (int64_t i = 0; i < kept[t]; i++) {
       out[i] = {start, marks[t][i]};
       start = marks[t][i] + 2;
     }
   };
   Pool::instance().run(nt, fill);
-  spans[static_cast<size_t>(base[nt])] = {prev_end, len};
+  spans[static_cast<size_t>(base[nt])] = {prev_end, term};
   return true;
 }
 
@@ -450,6 +497,45 @@ int64_t pack_segment_row(const uint8_t* scan, SegSpan span, uint32_t* row,
       return raw;
     }
   }
+  // Two-load variant for 33-64 byte segments (the common case right above
+  // the 32-byte path at typical restart-interval sizes).
+  if (raw > 32 && raw <= 64 && raw <= max_bytes &&
+      span.begin + 64 <= safe_end) {
+    const __m256i v0 =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(src));
+    const __m256i v1 =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(src + 32));
+    const __m256i ff = _mm256_set1_epi8(static_cast<char>(0xFF));
+    const uint64_t ffm =
+        static_cast<uint32_t>(
+            _mm256_movemask_epi8(_mm256_cmpeq_epi8(v0, ff))) |
+        (static_cast<uint64_t>(static_cast<uint32_t>(
+             _mm256_movemask_epi8(_mm256_cmpeq_epi8(v1, ff))))
+         << 32);
+    const uint64_t lenm =
+        raw >= 64 ? ~0ull : ((1ull << raw) - 1ull);
+    if ((ffm & lenm) == 0) {
+      const __m256i bswap = _mm256_setr_epi8(
+          3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12,
+          3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12);
+      _mm256_storeu_si256(reinterpret_cast<__m256i*>(row),
+                          _mm256_shuffle_epi8(v0, bswap));
+      const __m256i keep = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(kLenTab + 32 - (raw - 32)));
+      const __m256i out1 =
+          _mm256_shuffle_epi8(_mm256_and_si256(v1, keep), bswap);
+      if (W >= 16) {
+        _mm256_storeu_si256(reinterpret_cast<__m256i*>(row + 8), out1);
+        for (int64_t k = 16; k < W; k++) row[k] = 0;
+      } else {
+        // W in [9, 16): masked store of the W-8 valid words.
+        const __m256i wm = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(
+            kLenTab + 32 - 4 * (W - 8)));
+        _mm256_maskstore_epi32(reinterpret_cast<int*>(row + 8), wm, out1);
+      }
+      return raw;
+    }
+  }
 #else
   (void)safe_end;
 #endif
@@ -499,11 +585,16 @@ int64_t pack_segment_row(const uint8_t* scan, SegSpan span, uint32_t* row,
 //     segment s goes to row ((tr*ntc + tc)*8 + su)*128 + lane with
 //     mr = s/spr, sc = s%spr, tr = mr/8, su = mr%8, tc = sc/128,
 //     lane = sc%128. Zero means linear (row = s).
+//   tile_band_rows: banded tiled layout (scan.py TileMap band_rows) — MCU
+//     rows split into bands of tile_band_rows rows, each band owning a
+//     contiguous run of ceil(band_rows/8)*ntc blocks (the sharded layout).
+//     Zero means unbanded.
 // Returns 0, or -2 segment overflow, -3 interval count mismatch.
 int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
                      int64_t len, int64_t expected, int32_t W, int32_t G,
                      uint32_t* words, int32_t* active, int32_t n_threads,
-                     int32_t tile_spr, int32_t tile_ntc) {
+                     int32_t tile_spr, int32_t tile_ntc,
+                     int32_t tile_band_rows) {
   if (len <= 0 || offset < 0 || offset + len > data_len) return -1;
   const uint8_t* scan = data + offset;
 
@@ -536,8 +627,15 @@ int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
       int64_t row = s;
       if (tiled) {
         const int64_t mr = s / tile_spr, sc = s % tile_spr;
-        row = (((mr >> 3) * tile_ntc + (sc >> 7)) * kSublanes + (mr & 7)) *
-                  kLanes +
+        int64_t bt, lmr = mr;
+        if (tile_band_rows > 0) {
+          const int64_t ntrb = (tile_band_rows + 7) >> 3;
+          lmr = mr % tile_band_rows;
+          bt = (mr / tile_band_rows) * ntrb + (lmr >> 3);
+        } else {
+          bt = mr >> 3;
+        }
+        row = ((bt * tile_ntc + (sc >> 7)) * kSublanes + (lmr & 7)) * kLanes +
               (sc & 127);
       }
       if (row >= total ||
@@ -564,13 +662,15 @@ int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
 // frame) at ~0.1 ms of pooled host time.
 //   words:  buffer of G*W*8*128 u32 (caller allocates; fully written here)
 //   active: buffer of G*8*128 i32
-//   tile_spr/tile_ntc: raster-tiled slot assignment as in compeg_pack_rows;
-//     zero means linear (segment s -> slot s).
+//   tile_spr/tile_ntc/tile_band_rows: raster-tiled (optionally banded) slot
+//     assignment as in compeg_pack_rows; zero means linear (segment s ->
+//     slot s).
 // Returns 0, or -2 segment overflow, -3 interval count mismatch.
 int compeg_pack_blocks(const uint8_t* data, int64_t data_len, int64_t offset,
                        int64_t len, int64_t expected, int32_t W, int32_t G,
                        uint32_t* words, int32_t* active, int32_t n_threads,
-                       int32_t tile_spr, int32_t tile_ntc) {
+                       int32_t tile_spr, int32_t tile_ntc,
+                       int32_t tile_band_rows) {
   if (len <= 0 || offset < 0 || offset + len > data_len) return -1;
   const uint8_t* scan = data + offset;
 
@@ -596,12 +696,22 @@ int compeg_pack_blocks(const uint8_t* data, int64_t data_len, int64_t offset,
     for (int64_t r = 0; r < kSegsPerBlock; r++) {
       int64_t seg;
       if (tiled) {
-        // Inverse of the tiled slot map: block g = (tr, tc); slot (s, l)
-        // -> MCU row tr*8+s, segment column tc*128+l.
+        // Inverse of the tiled slot map: block g = (bt, tc); slot (s, l)
+        // -> MCU row band*band_rows + ltr*8 + s, segment col tc*128+l.
         const int64_t ntc = tile_ntc;
-        const int64_t mr = (g / ntc) * kSublanes + (r >> 7);
+        const int64_t bt = g / ntc;
         const int64_t sc = (g % ntc) * kLanes + (r & 127);
-        seg = (sc < tile_spr) ? mr * tile_spr + sc : -1;
+        int64_t mr;
+        bool row_ok = true;
+        if (tile_band_rows > 0) {
+          const int64_t ntrb = (tile_band_rows + 7) >> 3;
+          const int64_t lmr = (bt % ntrb) * kSublanes + (r >> 7);
+          mr = (bt / ntrb) * tile_band_rows + lmr;
+          row_ok = lmr < tile_band_rows;  // band-internal padding rows
+        } else {
+          mr = bt * kSublanes + (r >> 7);
+        }
+        seg = (row_ok && sc < tile_spr) ? mr * tile_spr + sc : -1;
       } else {
         seg = g * kSegsPerBlock + r;
       }

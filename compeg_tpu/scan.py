@@ -56,43 +56,77 @@ class TileMap:
     (tc, l) alone — and assembly becomes two near-bandwidth XLA copies plus
     a free reshape (ops/fused.assemble_image_tiled). Valid whenever ri
     divides the MCU-row width (segments never wrap a row boundary).
+
+    The optional *banded* form (``band_rows > 0``) additionally splits the
+    image into ``n_bands`` horizontal bands of ``band_rows`` MCU rows, each
+    band getting its own contiguous run of ``n_tr * n_tc`` blocks — the
+    layout of the sharded decode (parallel/sharding.py): shard ``b``'s
+    blocks are exactly ``[b * n_tr * n_tc, (b+1) * n_tr * n_tc)``, each a
+    raster-tiled sub-image, so every shard runs the same tiled fast path as
+    the single-chip pipeline.
     """
 
-    n_tr: int  # tile rows: ceil(height_mcus / 8)
+    n_tr: int  # tile rows PER BAND: ceil(band_rows / 8) (or whole image)
     n_tc: int  # tile cols: ceil((width_mcus/ri) / 128)
     segs_per_row: int  # width_mcus // ri
+    band_rows: int = 0  # MCU rows per band; 0 = unbanded
+    n_bands: int = 1
 
     @property
     def num_blocks(self) -> int:
-        return self.n_tr * self.n_tc
+        return self.n_bands * self.n_tr * self.n_tc
 
     @staticmethod
-    def for_geometry(height_mcus: int, width_mcus: int, ri: int) -> Optional["TileMap"]:
+    def for_geometry(
+        height_mcus: int, width_mcus: int, ri: int, n_bands: int = 1
+    ) -> Optional["TileMap"]:
         if ri <= 0 or width_mcus % ri != 0:
             return None  # segments wrap MCU rows: not separable
         spr = width_mcus // ri
+        if n_bands <= 1:
+            return TileMap(
+                n_tr=-(-height_mcus // SUBLANES),
+                n_tc=-(-spr // LANES),
+                segs_per_row=spr,
+            )
+        band_rows = -(-height_mcus // n_bands)
         return TileMap(
-            n_tr=-(-height_mcus // SUBLANES),
+            n_tr=-(-band_rows // SUBLANES),
             n_tc=-(-spr // LANES),
             segs_per_row=spr,
+            band_rows=band_rows,
+            n_bands=n_bands,
         )
 
     def slot_of_segment(self, height_mcus: int) -> np.ndarray:
         """[num_segments] -> packed row index (the host pack permutation)."""
         seg = np.arange(self.segs_per_row * height_mcus, dtype=np.int64)
         mr, sc = seg // self.segs_per_row, seg % self.segs_per_row
-        tr, s = mr // SUBLANES, mr % SUBLANES
+        if self.band_rows > 0:
+            band, lmr = mr // self.band_rows, mr % self.band_rows
+        else:
+            band, lmr = np.zeros_like(mr), mr
+        tr, s = lmr // SUBLANES, lmr % SUBLANES
         tc, lane = sc // LANES, sc % LANES
-        return (((tr * self.n_tc + tc) * SUBLANES + s) * LANES + lane)
+        bt = band * self.n_tr + tr
+        return ((bt * self.n_tc + tc) * SUBLANES + s) * LANES + lane
 
     def active_slots(self, height_mcus: int) -> np.ndarray:
         """[G, 8, 128] int32 — 1 where the slot maps to a real segment."""
         g = np.arange(self.num_blocks)[:, None, None]
         s = np.arange(SUBLANES)[None, :, None]
         lane = np.arange(LANES)[None, None, :]
-        mr = (g // self.n_tc) * SUBLANES + s
+        bt = g // self.n_tc
         sc = (g % self.n_tc) * LANES + lane
-        return ((mr < height_mcus) & (sc < self.segs_per_row)).astype(np.int32)
+        if self.band_rows > 0:
+            band, ltr = bt // self.n_tr, bt % self.n_tr
+            lmr = ltr * SUBLANES + s
+            mr = band * self.band_rows + lmr
+            ok = (lmr < self.band_rows) & (mr < height_mcus)
+        else:
+            mr = bt * SUBLANES + s
+            ok = mr < height_mcus
+        return (ok & (sc < self.segs_per_row)).astype(np.int32)
 
 
 def split_intervals(scan: bytes, expected: int) -> List[bytes]:
