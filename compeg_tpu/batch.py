@@ -261,9 +261,20 @@ class StreamDecoder:
         retained_coefficients: int = 64,
         interpret: Optional[bool] = None,
         depth: int = 2,
-        prepare_threads: int = 2,
+        prepare_threads: Optional[int] = None,
     ):
-        self._dec = Decoder(retained_coefficients, interpret)
+        import os
+
+        if prepare_threads is None:
+            prepare_threads = os.cpu_count() or 2
+        # With several prepares in flight, per-call single-threaded packs
+        # beat the shared pool ~2x (cross-caller parallelism has no pool
+        # serialization or wakeup latency; tools/bench_stream.py).
+        self._dec = Decoder(
+            retained_coefficients,
+            interpret,
+            pack_threads=1 if prepare_threads > 1 else None,
+        )
         self.depth = depth
         self.prepare_threads = prepare_threads
 

@@ -286,7 +286,15 @@ class Decoder:
         max_device_bytes: int = 8 << 30,
         planes_epilogue: Optional[bool] = None,
         zrl_compat: bool = False,
+        pack_threads: Optional[int] = None,
     ):
+        # pack_threads: worker threads per native pack call. None = the
+        # machine-sized pool (fastest single-frame latency). Streaming
+        # callers that run SEVERAL prepares concurrently should pass 1:
+        # cross-caller parallelism beats the pool's serialized runs ~2x on
+        # this VM (tools/bench_stream.py; pool wakeups on idle vCPUs are
+        # ms-scale, and Pool::run is one-caller-at-a-time by design).
+        self.pack_threads = pack_threads
         # zrl_compat: reproduce the reference's ZRL semantics (position
         # advance of 17 per ZRL symbol, src/huffman.wgsl:182-185) instead of
         # the spec/libjpeg 16. Combined with retained_coefficients=32 (the
@@ -341,11 +349,44 @@ class Decoder:
         return needed
 
     def prepare(self, data) -> PreparedFrame:
+        import dataclasses
+
         from . import native
         from .profiling import stage_timer
 
         with stage_timer("parse"):
-            img = data if isinstance(data, ImageData) else analyze(data)
+            if isinstance(data, ImageData):
+                img = data
+            else:
+                # Steady-state header cache: frames of an MJPEG stream carry
+                # byte-identical headers (same tables/geometry), so a ~600 B
+                # memcmp replaces the full re-parse (~0.6 ms/4K frame). The
+                # terminator-aware native scanners bound the scan themselves,
+                # so the cached frame's scan span is simply "rest of file"
+                # (exact length discovery is not needed on this path; a
+                # corrupt frame still fails the pack's interval-count check).
+                img = None
+                cached = getattr(self, "_hdr_cache", None)
+                if (
+                    cached is not None
+                    and native.available()
+                    and len(data) > len(cached[0])
+                    and bytes(data[: len(cached[0])]) == cached[0]
+                ):
+                    tmpl = cached[1]
+                    src = bytes(data)
+                    img = dataclasses.replace(
+                        tmpl,
+                        source=src,
+                        scan_data=src[tmpl.scan_offset :],
+                    )
+                if img is None:
+                    img = analyze(data)
+                    if native.available() and img.source is not None:
+                        self._hdr_cache = (
+                            img.source[: img.scan_offset],
+                            img,
+                        )
         expected = img.total_restart_intervals
         if expected < 10000 and not getattr(self, "_warned_parallelism", False):
             # Same guidance as the reference (src/lib.rs:838-846): few restart
@@ -391,11 +432,12 @@ class Decoder:
                     else (img.scan_data, 0, len(img.scan_data))
                 )
                 ntile = (tile.segs_per_row, tile.n_tc) if tile is not None else None
+                nthr = self.pack_threads or 0
                 if w is not None:
                     try:
                         words, active = native.pack_blocks(
                             src, expected, w, g, offset=off, length=ln,
-                            tile=ntile,
+                            tile=ntile, n_threads=nthr,
                         )
                     except CompegError:
                         words = None  # overflow or count change: re-measure
@@ -408,7 +450,8 @@ class Decoder:
                     w = self._bucket_width(S._words_per_segment(mx))
                     self._cached_width = w
                     words, active = native.pack_blocks(
-                        src, expected, w, g, offset=off, length=ln, tile=ntile
+                        src, expected, w, g, offset=off, length=ln, tile=ntile,
+                        n_threads=nthr,
                     )
             dscan = S.DeviceScan(words, active, expected, w)
         else:

@@ -1,0 +1,114 @@
+"""Steady-state streaming host path: the header cache (frames of a stream
+share byte-identical headers, so the per-frame re-parse collapses to a
+memcmp) and the terminator-aware native scanners it relies on (the scan
+span is 'rest of file'; the pack bounds the scan at the first real marker
+itself, trailing garbage and EOI included)."""
+
+import numpy as np
+import pytest
+
+from compeg_tpu import analyze, encoder, golden, native
+from compeg_tpu.errors import CompegError
+from compeg_tpu.pipeline import Decoder
+
+
+def _frames(test_image, n=3, **kw):
+    kw.setdefault("sampling", "422")
+    kw.setdefault("quality", 85)
+    kw.setdefault("restart_interval_mcus", 1)
+    return [
+        encoder.encode(test_image(24, 48, "gradient", seed=i), **kw)
+        for i in range(n)
+    ]
+
+
+@pytest.mark.skipif(not native.available(), reason="native library required")
+def test_header_cache_hits_and_decodes_exactly(test_image):
+    frames = _frames(test_image)
+    dec = Decoder(interpret=True)
+    outs = [dec.decode(f) for f in frames]
+    # Frames 2+ took the cached-header path (same tables/geometry).
+    assert getattr(dec, "_hdr_cache", None) is not None
+    for f, out in zip(frames, outs):
+        assert np.array_equal(out, Decoder(interpret=True).decode(f))
+        assert np.abs(out.astype(int) - golden.decode_rgb(f).astype(int)).max() <= 1
+
+
+@pytest.mark.skipif(not native.available(), reason="native library required")
+def test_header_cache_miss_on_different_headers(test_image):
+    dec = Decoder(interpret=True)
+    a = encoder.encode(test_image(24, 48, "gradient"), sampling="422",
+                       quality=85, restart_interval_mcus=1)
+    b = encoder.encode(test_image(24, 48, "gradient"), sampling="422",
+                       quality=60, restart_interval_mcus=1)  # different DQT
+    out_a = dec.decode(a)
+    out_b = dec.decode(b)  # header mismatch -> fresh analyze
+    assert np.array_equal(out_b, Decoder(interpret=True).decode(b))
+    assert not np.array_equal(out_a, out_b)
+
+
+@pytest.mark.skipif(not native.available(), reason="native library required")
+def test_header_cache_corrupt_frame_raises(test_image):
+    """A frame with a missing restart segment on the cached-header path must
+    still fail the interval-count check, not decode garbage silently."""
+    frames = _frames(test_image, 2)
+    dec = Decoder(interpret=True)
+    dec.decode(frames[0])
+    bad = bytearray(frames[1])
+    # Truncate at the last RST marker and close with EOI: fewer intervals.
+    cut = bytes(bad).rfind(b"\xff\xd3")
+    if cut < 0:
+        cut = max(bytes(bad).rfind(bytes([0xFF, 0xD0 + k])) for k in range(8))
+    bad = bytes(bad[:cut]) + b"\xff\xd9"
+    with pytest.raises(CompegError):
+        dec.decode(bad)
+
+
+@pytest.mark.skipif(not native.available(), reason="native library required")
+def test_terminator_aware_scan_info(test_image):
+    """scan_info over 'rest of file' (EOI + garbage trailer that contains
+    RST-lookalike bytes) must report the same counts as the exact span."""
+    data = encoder.encode(
+        test_image(24, 48, "gradient"), sampling="422", quality=85,
+        restart_interval_mcus=1,
+    ) + b"\xff\xd0 fake rst \xff\xd1"
+    img = analyze(data)
+    exact = native.scan_info(img.scan_data)
+    loose = native.scan_info(data[img.scan_offset:])
+    assert exact == loose
+
+
+@pytest.mark.skipif(not native.available(), reason="native library required")
+def test_terminator_aware_pack(test_image):
+    """pack over 'rest of file' must produce identical words/active as the
+    exact-span pack, dropping the EOI and trailing garbage."""
+    from compeg_tpu import scan as S
+
+    data = encoder.encode(
+        test_image(24, 48, "gradient"), sampling="422", quality=85,
+        restart_interval_mcus=1,
+    ) + b"garbage \xff\xd4 trailer"
+    img = analyze(data)
+    n = img.total_restart_intervals
+    _, mx = native.scan_info(img.scan_data)
+    w = S._words_per_segment(mx)
+    g = -(-n // S.SEGMENTS_PER_BLOCK)
+    exact = native.pack_blocks(img.scan_data, n, w, g)
+    loose = native.pack_blocks(
+        bytes(data), n, w, g, offset=img.scan_offset,
+        length=len(data) - img.scan_offset,
+    )
+    assert np.array_equal(exact[0], loose[0])
+    assert np.array_equal(exact[1], loose[1])
+
+
+@pytest.mark.skipif(not native.available(), reason="native library required")
+def test_stream_decoder_yields_in_order(test_image):
+    from compeg_tpu.batch import StreamDecoder
+
+    frames = _frames(test_image, 5)
+    sd = StreamDecoder(interpret=True, depth=2, prepare_threads=2)
+    outs = [sd.to_rgb(o) for o in sd.decode_iter(frames)]
+    assert len(outs) == 5
+    for f, out in zip(frames, outs):
+        assert np.array_equal(out, Decoder(interpret=True).decode(f))
