@@ -63,6 +63,7 @@ def main() -> None:
             mesh=meshes[n],
             geom=geom,
             band_rows=bf.band_rows,
+            tiling=bf.tiling,
             interpret=True,
         )
 

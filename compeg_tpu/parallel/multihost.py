@@ -119,6 +119,7 @@ def dryrun_multiprocess(
         mesh=mesh,
         geom=FrameGeometry.from_image(meta),
         band_rows=bf.band_rows,
+        tiling=bf.tiling,
         interpret=True,
     )
     out.block_until_ready()

@@ -256,7 +256,7 @@ def decode_batch_sharded(
     mesh: Mesh,
     geom,  # pipeline.FrameGeometry
     band_rows: int,
-    tiling: Optional[Tuple[int, int]] = None,
+    tiling: Optional[Tuple[int, int]],
     retained: int = 64,
     interpret: bool = False,
     fancy_upsample: bool = False,
@@ -265,9 +265,12 @@ def decode_batch_sharded(
     """Decode a batch of banded frames over the mesh.
 
     Returns ``[B, H, W, 3]`` u8, sharded (data, seq-concatenated rows).
-    With ``tiling`` (from :func:`prepare_banded`'s fast path) every shard
-    runs the single-chip tiled planes pipeline; without it, the staged
-    fallback.
+    ``tiling`` must be the frame's ``BandedFrame.tiling`` — it states which
+    slot layout the words were packed in. With it (the fast path) every
+    shard runs the single-chip tiled planes pipeline; ``None`` (the linear
+    fallback layout) takes the staged path. Required keyword: the two
+    layouts are indistinguishable from the arrays alone, and decoding one
+    as the other yields silently wrong pixels.
     """
     B, NB, G_b = words.shape[:3]
     n_data, n_seq = mesh.shape["data"], mesh.shape["seq"]
