@@ -195,45 +195,52 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
             # to the golden decoder, at a fraction of the VPU vector
             # butterflies' cost. Zigzag deswizzle is folded into the pass-1
             # operator. Bounds checked in ops/int_idct.py docstrings.
+            # All DU slots ride ONE dot per pass (columns concatenated):
+            # same FLOPs, but the [128, 64] operator is loaded once per pass
+            # instead of once per slot, and the wide dots pipeline better.
+            # Limb-pair sums happen in f32 BEFORE the i32 casts: every P
+            # entry is an exact integer < 2^19 (8 products of 8-bit limbs),
+            # so pair sums stay < 2^24 and are f32-exact — one cast per
+            # recombination term instead of one per limb block.
             n = SUBLANES * LANES
+            N = dus * n
             BF16 = jnp.bfloat16
+            xs = []
             for slot in range(dus):
                 xq = jnp.clip(coeff_s[slot] * l_ref[slot], -32768, 32767)
-                x = xq.reshape(64, n)
-                X = jnp.concatenate(
-                    [(x >> 8).astype(BF16), (x & 255).astype(BF16)], axis=1
-                )
-                P = jnp.dot(
-                    t_ref[0], X, preferred_element_type=F32
-                ).astype(I32)
-                y = (
-                    (P[:64, :n] << 16)
-                    + ((P[:64, n:] + P[64:, :n]) << 8)
-                    + P[64:, n:]
-                )
-                p1 = (y + (1 << 10)) >> 11  # descale CONST_BITS-PASS1_BITS
-                # Pass 2 input is ~2^20; three 8-bit limbs keep it bf16-exact
-                # (high limb p1>>16 is in [-15, 14]).
-                X2 = jnp.concatenate(
-                    [
-                        (p1 >> 16).astype(BF16),
-                        ((p1 >> 8) & 255).astype(BF16),
-                        (p1 & 255).astype(BF16),
-                    ],
-                    axis=1,
-                )
-                P2 = jnp.dot(
-                    t_ref[1], X2, preferred_element_type=F32
-                ).astype(I32)
-                y2 = (
-                    (P2[:64, :n] << 24)
-                    + ((P2[:64, n:2 * n] + P2[64:, :n]) << 16)
-                    + ((P2[:64, 2 * n:] + P2[64:, n:2 * n]) << 8)
-                    + P2[64:, 2 * n:]
-                )
-                # descale CONST_BITS+PASS1_BITS+3, +128 level shift, clamp.
-                pix = ((y2 + (1 << 17)) >> 18) + 128
-                coeff_s[slot] = jnp.clip(pix, 0, 255).reshape(
+                xs.append(xq.reshape(64, n))
+            x = jnp.concatenate(xs, axis=1)  # [64, N]
+            X = jnp.concatenate(
+                [(x >> 8).astype(BF16), (x & 255).astype(BF16)], axis=1
+            )
+            P = jnp.dot(t_ref[0], X, preferred_element_type=F32)
+            y = (
+                (P[:64, :N].astype(I32) << 16)
+                + ((P[:64, N:] + P[64:, :N]).astype(I32) << 8)
+                + P[64:, N:].astype(I32)
+            )
+            p1 = (y + (1 << 10)) >> 11  # descale CONST_BITS-PASS1_BITS
+            # Pass 2 input is ~2^20; three 8-bit limbs keep it bf16-exact
+            # (high limb p1>>16 is in [-15, 14]).
+            X2 = jnp.concatenate(
+                [
+                    (p1 >> 16).astype(BF16),
+                    ((p1 >> 8) & 255).astype(BF16),
+                    (p1 & 255).astype(BF16),
+                ],
+                axis=1,
+            )
+            P2 = jnp.dot(t_ref[1], X2, preferred_element_type=F32)
+            y2 = (
+                (P2[:64, :N].astype(I32) << 24)
+                + ((P2[:64, N:2 * N] + P2[64:, :N]).astype(I32) << 16)
+                + ((P2[:64, 2 * N:] + P2[64:, N:2 * N]).astype(I32) << 8)
+                + P2[64:, 2 * N:].astype(I32)
+            )
+            # descale CONST_BITS+PASS1_BITS+3, +128 level shift, clamp.
+            pix = jnp.clip(((y2 + (1 << 17)) >> 18) + 128, 0, 255)
+            for slot in range(dus):
+                coeff_s[slot] = pix[:, slot * n:(slot + 1) * n].reshape(
                     64, SUBLANES, LANES
                 )
         elif _ablate == "unpairidct":
