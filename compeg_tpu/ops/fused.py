@@ -210,32 +210,32 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
                 xq = jnp.clip(coeff_s[slot] * l_ref[slot], -32768, 32767)
                 xs.append(xq.reshape(64, n))
             x = jnp.concatenate(xs, axis=1)  # [64, N]
-            X = jnp.concatenate(
-                [(x >> 8).astype(BF16), (x & 255).astype(BF16)], axis=1
-            )
-            P = jnp.dot(t_ref[0], X, preferred_element_type=F32)
+            # One dot per input limb (vs one wide dot on a concatenated
+            # operand): same FLOPs, but no [64, k*N] concat for Mosaic to
+            # materialize in VMEM.
+            Ph = jnp.dot(t_ref[0], (x >> 8).astype(BF16),
+                         preferred_element_type=F32)
+            Pl = jnp.dot(t_ref[0], (x & 255).astype(BF16),
+                         preferred_element_type=F32)
             y = (
-                (P[:64, :N].astype(I32) << 16)
-                + ((P[:64, N:] + P[64:, :N]).astype(I32) << 8)
-                + P[64:, N:].astype(I32)
+                (Ph[:64].astype(I32) << 16)
+                + ((Ph[64:] + Pl[:64]).astype(I32) << 8)
+                + Pl[64:].astype(I32)
             )
             p1 = (y + (1 << 10)) >> 11  # descale CONST_BITS-PASS1_BITS
             # Pass 2 input is ~2^20; three 8-bit limbs keep it bf16-exact
             # (high limb p1>>16 is in [-15, 14]).
-            X2 = jnp.concatenate(
-                [
-                    (p1 >> 16).astype(BF16),
-                    ((p1 >> 8) & 255).astype(BF16),
-                    (p1 & 255).astype(BF16),
-                ],
-                axis=1,
-            )
-            P2 = jnp.dot(t_ref[1], X2, preferred_element_type=F32)
+            Qh = jnp.dot(t_ref[1], (p1 >> 16).astype(BF16),
+                         preferred_element_type=F32)
+            Qm = jnp.dot(t_ref[1], ((p1 >> 8) & 255).astype(BF16),
+                         preferred_element_type=F32)
+            Ql = jnp.dot(t_ref[1], (p1 & 255).astype(BF16),
+                         preferred_element_type=F32)
             y2 = (
-                (P2[:64, :N].astype(I32) << 24)
-                + ((P2[:64, N:2 * N] + P2[64:, :N]).astype(I32) << 16)
-                + ((P2[:64, 2 * N:] + P2[64:, N:2 * N]).astype(I32) << 8)
-                + P2[64:, 2 * N:].astype(I32)
+                (Qh[:64].astype(I32) << 24)
+                + ((Qh[64:] + Qm[:64]).astype(I32) << 16)
+                + ((Qm[64:] + Ql[:64]).astype(I32) << 8)
+                + Ql[64:].astype(I32)
             )
             # descale CONST_BITS+PASS1_BITS+3, +128 level shift, clamp.
             pix = jnp.clip(((y2 + (1 << 17)) >> 18) + 128, 0, 255)
@@ -689,28 +689,6 @@ def assemble_plane_tiled(slab: jax.Array, geom, sh: int, sv: int) -> jax.Array:
     return img[: geom.height_mcus * 8 * sv, : geom.width_mcus * 8 * sh // 4]
 
 
-def _fancy_h_subs(subs):
-    """Horizontal x2 triangle-filter upsampling on 4 byte-packed sub-planes.
-
-    ``subs[b][:, q]`` holds pixel column ``4q+b``; returns 8 sub-planes where
-    ``out[c][:, q]`` is *output* column ``8q+c`` — even ``c`` from
-    ``(3*p + left + 1) >> 2``, odd from ``(3*p + right + 2) >> 2``, with the
-    same edge clamping as ops/color.upsample_fancy_h (neighbors cross
-    sub-plane boundaries: left of sub 0 is sub 3 shifted right one word)."""
-    p0, p1, p2, p3 = subs
-    left = [
-        jnp.concatenate([p0[:, :1], p3[:, :-1]], axis=1), p0, p1, p2,
-    ]
-    right = [
-        p1, p2, p3, jnp.concatenate([p0[:, 1:], p3[:, -1:]], axis=1),
-    ]
-    out = []
-    for b in range(4):
-        out.append((3 * subs[b] + left[b] + 1) >> 2)
-        out.append((3 * subs[b] + right[b] + 2) >> 2)
-    return out
-
-
 def _upsample_fancy_v_sharded(
     p: jax.Array,  # [shard_rows, W] int32, one unpacked sub-plane
     seq_axis: str,
@@ -772,8 +750,10 @@ def finalize_planes(
     Each input plane packs 4 x-pixels per u32 (byte ``b`` = column ``4q+b``,
     from :func:`assemble_plane_tiled`). Upsampling runs on the 4 unpacked
     sub-planes — neighbor columns live in adjacent sub-planes, so every step
-    stays elementwise (XLA fuses the unpack, filter, color convert, and the
-    final interleave into one pass over the output)."""
+    stays elementwise: chroma is mapped onto the luma word grid with column
+    repeats + word-parity selects (NOT by re-striding luma, which lowers to
+    XLA gathers on the tiled layout), and XLA fuses the unpack, filter,
+    color convert, and the final 4-way interleave into the output pass."""
     from . import color as C
 
     max_h = max(s[0] for s in samplings)
@@ -806,24 +786,85 @@ def finalize_planes(
             y = jnp.clip(y, 0, 255)
             rgba_subs.append(y | (y << 8) | (y << 16) | jnp.int32(-16777216))
     else:
+        # The luma sub-planes stay on their natural stride-4 grid and the
+        # CHROMA is mapped onto it — never the other way around: re-striding
+        # luma ([:, c//4::fx]) lowers to XLA gathers on the tiled TPU layout
+        # (8 kCustom gather fusions + index plumbing, ~55us/4K frame,
+        # r3 HLO dump). Chroma-to-luma mapping is pure elementwise: output
+        # x = 4w+b (luma word w = 2q+p, byte b) reads chroma sample
+        # s = x//fx = 4q + 2p + b//2 (fx=2), i.e. chroma sub 2p + b//2 at
+        # word q — a column 2x-repeat plus ONE select on the word parity p.
         fx = max_h // samplings[1][0]
-        if fx > 1:
-            # Output column stride 4*fx: y sub-planes re-strided to match the
-            # chroma upsampler's output sub-planes (col 4*fx*q+c <- y sub c%4
-            # at word fx*q + c//4; chroma sample x = 4q + c//fx <- sub c//fx).
-            n = 4 * fx
-            ys = [comps[0][c % 4][:, (c // 4)::fx] for c in range(n)]
-            if fancy and fx == 2:
-                cbs = _fancy_h_subs(comps[1])
-                crs = _fancy_h_subs(comps[2])
-            else:
-                # fx == 4 (4:1:1): sample replication even in fancy mode —
-                # libjpeg's fancy upsampler is defined only for 2x ratios
-                # (jdsample.c routes everything else to int_upsample).
-                cbs = [comps[1][c // fx] for c in range(n)]
-                crs = [comps[2][c // fx] for c in range(n)]
+        ys = comps[0]
+        Wy = ys[0].shape[1]
+
+        def rep(a, f):
+            return jnp.repeat(a, f, axis=1)
+
+        if fx == 2:
+            wpar = (jnp.arange(Wy, dtype=jnp.int32) & 1)[None, :]
+
+            def to_luma_grid(subs):
+                if not fancy:
+                    return [
+                        jnp.where(wpar == 0,
+                                  rep(subs[b // 2], 2),
+                                  rep(subs[2 + b // 2], 2))
+                        for b in range(4)
+                    ]
+                # libjpeg triangle filter: even output x blends the nearest
+                # sample with its LEFT neighbor ((3*c + l + 1) >> 2), odd x
+                # with its RIGHT ((3*c + r + 2) >> 2); x parity == b parity.
+                # Neighbor sub/word indices are static per (b, p); the word
+                # borrow/carry at sample 4q-1 / 4q+4 is an edge-clamped
+                # column shift (clamp value = true first/last sample).
+                out = []
+                for b in range(4):
+                    t0 = b // 2
+                    main = jnp.where(wpar == 0,
+                                     rep(subs[t0], 2),
+                                     rep(subs[2 + t0], 2))
+                    if b % 2 == 0:
+                        a0 = (
+                            jnp.concatenate(
+                                [subs[0][:, :1], subs[3][:, :-1]], axis=1
+                            )
+                            if t0 == 0
+                            else subs[t0 - 1]
+                        )
+                        nb = jnp.where(wpar == 0, rep(a0, 2),
+                                       rep(subs[t0 + 1], 2))
+                        out.append((3 * main + nb + 1) >> 2)
+                    else:
+                        a1 = (
+                            jnp.concatenate(
+                                [subs[0][:, 1:], subs[3][:, -1:]], axis=1
+                            )
+                            if t0 == 1
+                            else subs[t0 + 3]
+                        )
+                        nb = jnp.where(wpar == 0, rep(subs[t0 + 1], 2),
+                                       rep(a1, 2))
+                        out.append((3 * main + nb + 2) >> 2)
+                return out
+
+            cbs, crs = to_luma_grid(comps[1]), to_luma_grid(comps[2])
+        elif fx == 4:
+            # 4:1:1 is sample replication even in fancy mode — libjpeg's
+            # fancy upsampler is defined only for 2x ratios (jdsample.c
+            # routes everything else to int_upsample). s = x//4 = w:
+            # chroma sub w%4 at word w//4, independent of b.
+            wm4 = (jnp.arange(Wy, dtype=jnp.int32) & 3)[None, :]
+
+            def to_luma_grid(subs):
+                v = rep(subs[0], 4)
+                for k in range(1, 4):
+                    v = jnp.where(wm4 == k, rep(subs[k], 4), v)
+                return [v] * 4
+
+            cbs, crs = to_luma_grid(comps[1]), to_luma_grid(comps[2])
         else:
-            ys, cbs, crs = comps[0], comps[1], comps[2]
+            cbs, crs = comps[1], comps[2]
         rgba_subs = []
         for y, cb, cr in zip(ys, cbs, crs):
             if rgb:
