@@ -358,6 +358,8 @@ def _analyze_python(data: bytes) -> ImageData:
         htables=htables,
         restart_interval=0,
         scan_data=scan_data,
+        source=bytes(data),
+        scan_offset=sos.data_offset,
     )
 
     # -- geometry (reference: src/lib.rs:768-793) ---------------------------

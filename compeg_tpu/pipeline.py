@@ -73,7 +73,9 @@ def seg_mcu_counts(active: np.ndarray, ri: int, total_mcus: int) -> np.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("plan", "geom", "retained", "interpret", "fancy")
+    jax.jit,
+    static_argnames=("plan", "geom", "retained", "interpret", "fancy",
+                     "exact_idct"),
 )
 def decode_frame_device(
     words: jax.Array,  # [G, W, 8, 128] uint32
@@ -84,10 +86,12 @@ def decode_frame_device(
     retained: int = 64,
     interpret: bool = False,
     fancy: bool = False,
+    exact_idct: bool = False,
 ) -> jax.Array:
     """The full on-device frame decode: scan words -> [H, W, 3] u8."""
     coeffs = E.entropy_decode(_as_blocks(words), seg_mcus, plan, interpret=interpret)
-    pix = D.idct_pixels(coeffs, qz_by_slot, retained)
+    idct = D.idct_pixels_exact if exact_idct else D.idct_pixels
+    pix = idct(coeffs, qz_by_slot, retained)
     return C.finalize_rgb(
         pix,
         ri=geom.ri,
@@ -341,6 +345,12 @@ class Decoder:
         # and only re-measure when a segment overflows it (the same trick as
         # the reference's grow-only buffers, src/dynamic.rs:38-61).
         self._cached_width: Optional[int] = None
+        # Steady-state header cache: (header bytes, ImageData template) of
+        # the last stream. Holds exactly ONE entry — a frame with different
+        # header bytes misses and replaces it — so memory is bounded at one
+        # parsed template plus ~600 header bytes; no eviction policy needed.
+        self._hdr_cache: Optional[Tuple[bytes, ImageData]] = None
+        self._warned_parallelism = False
 
     def _bucket_width(self, needed: int) -> int:
         for b in self._width_buckets:
@@ -362,27 +372,33 @@ class Decoder:
                 # byte-identical headers (same tables/geometry), so a ~600 B
                 # memcmp replaces the full re-parse (~0.6 ms/4K frame). The
                 # terminator-aware native scanners bound the scan themselves,
-                # so the cached frame's scan span is simply "rest of file"
-                # (exact length discovery is not needed on this path; a
-                # corrupt frame still fails the pack's interval-count check).
+                # so the cached frame's scan span is simply "rest of file";
+                # the Python fallback needs the exact span, recovered by
+                # finding the EOI marker (inside valid entropy data every FF
+                # is followed by 00 or D0-D7, so the first FF D9 after the
+                # header IS the terminator). A corrupt frame still fails the
+                # pack's interval-count check either way.
                 img = None
-                cached = getattr(self, "_hdr_cache", None)
+                cached = self._hdr_cache
                 if (
                     cached is not None
-                    and native.available()
                     and len(data) > len(cached[0])
                     and bytes(data[: len(cached[0])]) == cached[0]
                 ):
                     tmpl = cached[1]
                     src = bytes(data)
-                    img = dataclasses.replace(
-                        tmpl,
-                        source=src,
-                        scan_data=src[tmpl.scan_offset :],
-                    )
+                    if native.available():
+                        scan = src[tmpl.scan_offset :]
+                    else:
+                        end = src.find(b"\xff\xd9", tmpl.scan_offset)
+                        scan = src[tmpl.scan_offset : end] if end >= 0 else None
+                    if scan is not None:
+                        img = dataclasses.replace(
+                            tmpl, source=src, scan_data=scan
+                        )
                 if img is None:
                     img = analyze(data)
-                    if native.available() and img.source is not None:
+                    if img.source is not None:
                         self._hdr_cache = (
                             img.source[: img.scan_offset],
                             img,
@@ -590,6 +606,7 @@ class Decoder:
             self.retained,
             self.interpret,
             self.fancy,
+            self.exact_idct,
         )
 
     def _to_rgb(self, out: jax.Array) -> np.ndarray:

@@ -9,6 +9,12 @@ file looped — through the pipelined StreamDecoder and reports live fps;
 
     python examples/viewer.py frame.jpg --loop 100
     python examples/viewer.py captures/*.jpg --save-dir decoded/
+
+``--platform cpu|tpu`` (or ``COMPEG_PLATFORM``) selects the JAX backend.
+The env var ``JAX_PLATFORMS`` alone is NOT enough on rigs whose
+sitecustomize force-sets a platform after the environment is read — the
+selection must go through ``jax.config.update("jax_platforms", ...)``
+*before* any device query (same contract as tests/conftest.py).
 """
 
 import argparse
@@ -22,13 +28,30 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 
 
+def _force_platform(name: str) -> None:
+    """Pin the JAX backend before anything touches devices. jax.config wins
+    over both the env var and any sitecustomize override."""
+    import jax
+
+    jax.config.update("jax_platforms", name)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("inputs", nargs="+", help="JPEG files (or one file with --loop)")
     ap.add_argument("--loop", type=int, default=0, help="loop the input N times")
     ap.add_argument("--save-dir", default=None)
     ap.add_argument("--stats-every", type=int, default=30)
+    ap.add_argument(
+        "--platform",
+        default=os.environ.get("COMPEG_PLATFORM") or None,
+        help="JAX platform (cpu/tpu). Default: jax's own selection. "
+        "Overrides sitecustomize-forced platforms, unlike JAX_PLATFORMS.",
+    )
     args = ap.parse_args()
+
+    if args.platform:
+        _force_platform(args.platform)
 
     from compeg_tpu.batch import StreamDecoder
     from compeg_tpu.profiling import log_stats

@@ -105,12 +105,17 @@ def test_viewer_example_mjpeg_cli(tmp_path, test_image):
     src = tmp_path / "cap.mjpeg"
     src.write_bytes(frame * 3)
     outdir = tmp_path / "out"
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # --platform cpu goes through jax.config.update, which survives
+    # sitecustomize-forced JAX_PLATFORMS (env alone does not — the round-3
+    # suite hang: the "CPU" subprocess silently compiled through the TPU
+    # tunnel).
+    env = dict(os.environ, COMPEG_PLATFORM="cpu")
     r = subprocess.run(
         [sys.executable, "examples/viewer.py", str(src),
-         "--save-dir", str(outdir), "--stats-every", "2"],
+         "--save-dir", str(outdir), "--stats-every", "2",
+         "--platform", "cpu"],
         capture_output=True,
-        timeout=570,
+        timeout=300,
         cwd=os.path.join(os.path.dirname(__file__), ".."),
         env=env,
     )

@@ -34,6 +34,28 @@ def test_header_cache_hits_and_decodes_exactly(test_image):
         assert np.abs(out.astype(int) - golden.decode_rgb(f).astype(int)).max() <= 1
 
 
+def test_header_cache_without_native(test_image, monkeypatch):
+    """The header cache must also work on the pure-Python path: the scan
+    span is recovered by finding the EOI terminator (every FF inside valid
+    entropy data is followed by 00 or D0-D7, so the first FF D9 after the
+    header is the real end), instead of re-parsing every frame."""
+    monkeypatch.setattr("compeg_tpu.native.available", lambda: False)
+    frames = _frames(test_image)
+    dec = Decoder(interpret=True)
+    outs = [dec.decode(f) for f in frames]
+    assert dec._hdr_cache is not None
+    for f, out in zip(frames, outs):
+        assert np.array_equal(out, Decoder(interpret=True).decode(f))
+    # Force-verify the cache actually got USED: poison analyze and decode a
+    # cached-header frame again (only `dec`, which must not re-parse).
+    monkeypatch.setattr(
+        "compeg_tpu.pipeline.analyze",
+        lambda *_: (_ for _ in ()).throw(AssertionError("cache missed")),
+    )
+    again = dec.decode(frames[-1])
+    assert np.array_equal(again, outs[-1])
+
+
 @pytest.mark.skipif(not native.available(), reason="native library required")
 def test_header_cache_miss_on_different_headers(test_image):
     dec = Decoder(interpret=True)
