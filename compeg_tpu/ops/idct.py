@@ -57,3 +57,38 @@ def idct_pixels(
 def qz_by_slot_array(img) -> np.ndarray:
     """Per-DU-slot zigzag quantization rows: ``[DUS, 64]`` int32."""
     return np.stack([np.asarray(img.qtable_for_comp(c)) for c in img.du_to_comp])
+
+
+@functools.partial(jax.jit, static_argnames=("retained",))
+def idct_pixels_exact(
+    coeffs: jax.Array,  # [G, RI, DUS, 64, 8, 128] int32, raw (quantized)
+    qz_by_slot: jax.Array,  # [DUS, 64] int32
+    retained: int = 64,
+) -> jax.Array:
+    """Integer-exact variant of :func:`idct_pixels` for the staged path:
+    runs :func:`~compeg_tpu.ops.int_idct.idct_2d_rows` — literally the same
+    butterfly the golden decoder executes (golden.idct_pixels_int) — as
+    vectorized jnp int32 elementwise ops, so the result is byte-identical to
+    ``golden.decode_rgb(idct="int")`` on every backend. This is the
+    bit-exact mode for layouts the fused tiled kernel cannot take
+    (irregular restart intervals on the sharded fallback)."""
+    from ..tables import ZIGZAG
+    from .int_idct import idct_2d_rows
+
+    q = qz_by_slot
+    if retained < 64:
+        mask = np.zeros((1, 64), np.int32)
+        mask[0, :retained] = 1
+        q = q * jnp.asarray(mask)
+    # Dequantize, clamp to int16 range (golden.idct_pixels_int semantics;
+    # |coeff| <= 32767 and q <= 255, so the int32 product cannot wrap and
+    # matches golden's int64 product exactly).
+    deq = coeffs * q[None, None, :, :, None, None]
+    deq = jnp.clip(deq, -32768, 32767)
+    zz = np.asarray(ZIGZAG).reshape(8, 8)
+    cols = [[deq[..., int(zz[r, c]), :, :] for c in range(8)] for r in range(8)]
+    out = idct_2d_rows(cols)
+    pix = jnp.stack(
+        [out[r][c] for r in range(8) for c in range(8)], axis=-3
+    )  # [G, RI, DUS, 64p, 8, 128]
+    return jnp.clip(pix, 0, 255)

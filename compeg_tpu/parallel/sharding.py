@@ -283,13 +283,11 @@ def decode_batch_sharded(
             retained=retained, interpret=interpret,
             fancy_upsample=fancy_upsample, exact_idct=exact_idct,
         )
-    if exact_idct:
-        bail("exact_idct requires the tiled banded layout (Ri | row width)")
     return _decode_sharded_staged(
         words, seg_mcus, qz_by_slot, plan,
         mesh=mesh, geom=geom, band_rows=band_rows,
         retained=retained, interpret=interpret,
-        fancy_upsample=fancy_upsample,
+        fancy_upsample=fancy_upsample, exact_idct=exact_idct,
     )
 
 
@@ -407,19 +405,24 @@ def _tiled_program(
 
 def _decode_sharded_staged(
     words, seg_mcus, qz_by_slot, plan, *, mesh, geom, band_rows,
-    retained, interpret, fancy_upsample,
+    retained, interpret, fancy_upsample, exact_idct=False,
 ):
     """Fallback for streams with no tiled layout (Ri does not divide the
-    MCU-row width): staged entropy + IDCT + band assembly per shard."""
+    MCU-row width): staged entropy + IDCT + band assembly per shard.
+    ``exact_idct`` swaps the float MXU IDCT for the vectorized integer
+    butterfly (ops/idct.idct_pixels_exact), so the bit-exact mode shards
+    for any restart interval."""
     fn = _staged_program(
-        plan, geom, band_rows, mesh, retained, interpret, fancy_upsample
+        plan, geom, band_rows, mesh, retained, interpret, fancy_upsample,
+        exact_idct,
     )
     return fn(words, seg_mcus, qz_by_slot)
 
 
 @functools.lru_cache(maxsize=64)
 def _staged_program(
-    plan, geom, band_rows, mesh, retained, interpret, fancy_upsample
+    plan, geom, band_rows, mesh, retained, interpret, fancy_upsample,
+    exact_idct=False,
 ):
     """Cached shard_map program for the staged fallback (see _tiled_program
     for why the wrapper must not be rebuilt per call)."""
@@ -433,7 +436,8 @@ def _staged_program(
         wf = w_l.reshape((flat_blocks,) + w_l.shape[3:])
         sf = s_l.reshape((flat_blocks,) + s_l.shape[3:])
         coeffs = E.entropy_decode(wf, sf, plan_l, interpret=interpret)
-        pix = D.idct_pixels(coeffs, qz, retained)
+        idct = D.idct_pixels_exact if exact_idct else D.idct_pixels
+        pix = idct(coeffs, qz, retained)
         pix = pix.reshape((B_l, NB_l, G_b) + pix.shape[1:])
 
         def one_band(p):
@@ -473,8 +477,11 @@ def _staged_program(
 def dryrun(n_devices: int) -> None:
     """Driver hook: jit + execute one fully sharded decode step on an
     n-devices mesh with tiny shapes (data x seq = (n/2, 2) when possible).
-    Exercises the production tiled planes path (fused kernel + native-layout
-    banded tiling + halo-aware epilogue) AND the staged fallback."""
+    Runs THREE configurations so both slot layouts compile and execute:
+    the production tiled planes path (fused kernel + native-layout banded
+    tiling), tiled + the halo-aware fancy epilogue (ppermute over ICI), and
+    the staged fallback (irregular Ri — segments wrap rows) with the exact
+    integer IDCT."""
     import jax
 
     from ..encoder import encode
@@ -491,17 +498,21 @@ def dryrun(n_devices: int) -> None:
     img = np.stack([xx * 7 % 256, yy * 5 % 256, (xx + yy) % 256], axis=-1).astype(
         np.uint8
     )
-    data = encode(img, sampling="422", quality=85, restart_interval_mcus=1)
-    meta = analyze(data)
     interpret = jax.default_backend() != "tpu"
-    geom = FrameGeometry.from_image(meta)
-    for kwargs in (
-        dict(fancy_upsample=False),  # tiled planes fast path
-        dict(fancy_upsample=True),   # tiled + halo-aware fancy epilogue
+    for ri, kwargs in (
+        (1, dict(fancy_upsample=False)),  # tiled planes fast path
+        (1, dict(fancy_upsample=True)),   # tiled + halo-aware fancy epilogue
+        # Ri=3 does not divide the 2-MCU row width: no tiled layout exists,
+        # bands cut at restart boundaries, staged kernel per shard — with
+        # exact_idct (the bit-exact mode on the fallback layout).
+        (3, dict(exact_idct=True)),
     ):
+        data = encode(img, sampling="422", quality=85, restart_interval_mcus=ri)
+        meta = analyze(data)
+        geom = FrameGeometry.from_image(meta)
         bf = prepare_banded(meta, n_seq)
         words, seg_mcus = stack_banded([bf] * n_data)
-        assert bf.tiling is not None  # Ri=1 stream must take the fast path
+        assert (bf.tiling is not None) == (ri == 1), (ri, bf.tiling)
         out = decode_batch_sharded(
             jnp.asarray(words),
             jnp.asarray(seg_mcus),

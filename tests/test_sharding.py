@@ -156,6 +156,29 @@ def test_sharded_irregular_ri_fallback(test_image):
         assert np.array_equal(got[b], want)
 
 
+def test_sharded_irregular_ri_exact_idct(test_image):
+    """Bit-exact mode on the staged fallback: Ri=5 not dividing the row
+    width + exact_idct must be byte-identical to the integer golden decode
+    (round-3 gap: the fallback used to bail on exact_idct)."""
+    img = test_image(56, 48, "noise")  # 7 MCU rows x 6 MCUs/row (444)
+    data = encoder.encode(img, sampling="444", quality=85, restart_interval_mcus=5)
+    meta = analyze(data)
+    assert meta.width_mcus % meta.restart_interval != 0
+    got, _ = _decode_sharded(data, 2, 2, exact_idct=True, expect_tiled=False)
+    want = golden.decode_rgb(data, idct="int")
+    for b in range(got.shape[0]):
+        assert np.array_equal(got[b], want)
+
+
+def test_staged_exact_idct_single_chip(test_image):
+    """Decoder's staged path (fused=False) with exact_idct: byte-identical
+    to the integer golden decode (decode_frame_device now plumbs the flag)."""
+    img = test_image(24, 48, "noise")
+    data = encoder.encode(img, sampling="422", quality=90, restart_interval_mcus=1)
+    got = Decoder(interpret=True, fused=False, exact_idct=True).decode(data)
+    assert np.array_equal(got, golden.decode_rgb(data, idct="int"))
+
+
 def test_sharded_ri5_aligned_tiled(test_image):
     """Ri=5 dividing the MCU-row width: tiled fast path despite Ri > 1,
     with a band count that does not divide the MCU rows evenly."""
