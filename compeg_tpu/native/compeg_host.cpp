@@ -318,76 +318,97 @@ struct SegSpan {
   int64_t end;    // raw scan offset past the segment (before the RST)
 };
 
-// Find RST markers and build the per-segment spans, fully parallel.
+// Find RST markers and per-segment FF presence, fully parallel.
+//
+//   marks[s] = raw offset one past segment s's data: the RST marker's FF
+//              for s < expected-1, the scan terminator (or len) for the
+//              last segment. Segment s spans [s ? marks[s-1]+2 : 0, marks[s]).
+//   hasff[s] = 1 iff segment s's data contains any 0xFF byte (a stuffing
+//              pair or an FF fill byte) — the packer takes a test-free fast
+//              path on the overwhelmingly FF-free segments, and the marks
+//              array (8 B/segment) replaces the old 16 B spans array plus
+//              its separate parallel fill pass (~0.2 ms/4K frame serial).
+//
 // Detection is context-free — the second byte of a stuffed/RST pair is
 // never 0xFF, so "scan[i]==FF && scan[i+1] in D0..D7" is exact regardless
-// of chunking. The span fill is parallel too (a serial 64k-push_back loop
-// measured ~0.4-0.6 ms on the 4K stream): chunk t's spans start at the
-// marker-count prefix sum, and its first span begins after the previous
-// non-empty chunk's last marker.
-//
-// The buffer may extend past the scan's end (EOI + trailers): the first FF
-// followed by a real marker (not 00/RST/FF) terminates the scan, and marks
-// found past it (e.g. RST-looking bytes inside trailing garbage) are
-// dropped. This lets callers pass "rest of file" as the length, removing
-// the separate find_scan_end pass from the per-frame hot path.
-// Returns false on interval-count mismatch.
-bool build_spans(const uint8_t* scan, int64_t len, int64_t expected, int nt,
-                 std::vector<SegSpan>& spans) {
-  std::vector<std::vector<int64_t>> marks(nt);
-  std::vector<int64_t> terms(nt, -1);  // per-chunk first terminator
+// of chunking. The buffer may extend past the scan's end (EOI + trailers):
+// the first FF followed by a real marker (not 00/RST/FF) terminates the
+// scan, and marks found past it (RST lookalikes in trailing garbage) are
+// dropped. Returns false on interval-count mismatch.
+bool build_marks(const uint8_t* scan, int64_t len, int64_t expected, int nt,
+                 std::vector<int64_t>& marks, std::vector<uint8_t>& hasff) {
+  struct Chunk {
+    std::vector<int64_t> m;  // RST FF positions (ascending)
+    std::vector<uint8_t> f;  // FF seen in the segment ending at m[i]
+    uint8_t tail = 0;        // FF seen after the last local mark
+    int64_t term = -1;       // first real-marker FF in this chunk
+  };
+  std::vector<Chunk> cs(nt);
   auto find_markers = [&](int t) {
     int64_t lo = len * t / nt, hi = len * (t + 1) / nt;
-    auto& out = marks[t];
-    out.reserve(static_cast<size_t>(expected) / nt + 8);
+    Chunk& c = cs[t];
+    c.m.reserve(static_cast<size_t>(expected) / nt + 8);
+    c.f.reserve(static_cast<size_t>(expected) / nt + 8);
+    uint8_t pend = 0;
     int64_t term = -1;
     visit_ff(scan, lo, hi, [&](int64_t i) {
-      if (term >= 0 || i + 1 >= len) return;
+      if (term >= 0) return;
+      if (i + 1 >= len) {  // trailing lone FF is plain segment data
+        pend = 1;
+        return;
+      }
       uint8_t nxt = scan[i + 1];
-      if (nxt >= 0xD0 && nxt <= 0xD7)
-        out.push_back(i);
-      else if (nxt != 0x00 && nxt != 0xFF)
+      if (nxt >= 0xD0 && nxt <= 0xD7) {
+        c.m.push_back(i);
+        c.f.push_back(pend);
+        pend = 0;
+      } else if (nxt == 0x00 || nxt == 0xFF) {
+        pend = 1;  // stuffing pair / fill byte: stays in the segment
+      } else {
         term = i;
+      }
     });
-    terms[t] = term;
+    c.tail = pend;
+    c.term = term;
   };
   Pool::instance().run(nt, find_markers);
 
   int64_t term = len;
+  int tterm = nt - 1;  // last chunk whose marks/flags are real
   for (int t = 0; t < nt; t++)
-    if (terms[t] >= 0) {
-      term = terms[t];
+    if (cs[t].term >= 0) {
+      term = cs[t].term;
+      tterm = t;
       break;
     }
-  // Drop RST marks at/past the terminator (trailing-garbage lookalikes).
-  std::vector<int64_t> kept(nt);
-  for (int t = 0; t < nt; t++) {
-    auto& m = marks[t];
-    size_t k = m.size();
-    while (k > 0 && m[k - 1] >= term) k--;
+  // Count kept marks (drop RST lookalikes at/past the terminator).
+  std::vector<int64_t> kept(nt, 0);
+  int64_t total = 0;
+  for (int t = 0; t <= tterm; t++) {
+    size_t k = cs[t].m.size();
+    while (k > 0 && cs[t].m[k - 1] >= term) k--;
     kept[t] = static_cast<int64_t>(k);
+    total += kept[t];
   }
-
-  std::vector<int64_t> base(nt + 1, 0);
-  for (int t = 0; t < nt; t++) base[t + 1] = base[t] + kept[t];
-  if (base[nt] + 1 != expected) return false;
-  spans.resize(static_cast<size_t>(expected));
-  std::vector<int64_t> first_start(nt, 0);
-  int64_t prev_end = 0;
-  for (int t = 0; t < nt; t++) {
-    first_start[t] = prev_end;
-    if (kept[t] > 0) prev_end = marks[t][kept[t] - 1] + 2;
-  }
-  auto fill = [&](int t) {
-    int64_t start = first_start[t];
-    SegSpan* out = spans.data() + base[t];
-    for (int64_t i = 0; i < kept[t]; i++) {
-      out[i] = {start, marks[t][i]};
-      start = marks[t][i] + 2;
+  if (total + 1 != expected) return false;
+  marks.resize(static_cast<size_t>(expected));
+  hasff.resize(static_cast<size_t>(expected));
+  int64_t base = 0;
+  uint8_t pend = 0;  // FF flag carried across chunks with no kept marks
+  for (int t = 0; t <= tterm; t++) {
+    int64_t k = kept[t];
+    if (k > 0) {
+      std::memcpy(marks.data() + base, cs[t].m.data(), sizeof(int64_t) * k);
+      std::memcpy(hasff.data() + base, cs[t].f.data(), k);
+      hasff[base] |= pend;
+      pend = cs[t].tail;
+      base += k;
+    } else {
+      pend |= cs[t].tail;
     }
-  };
-  Pool::instance().run(nt, fill);
-  spans[static_cast<size_t>(base[nt])] = {prev_end, term};
+  }
+  marks[static_cast<size_t>(expected - 1)] = term;
+  hasff[static_cast<size_t>(expected - 1)] = pend;
   return true;
 }
 
@@ -465,14 +486,16 @@ alignas(32) static const uint8_t kLenTab[64] = {
 // row's padding tail (so callers need no bulk memset of the words buffer).
 // `safe_end` is the number of bytes readable from `scan` (the fast path
 // overreads up to 31 bytes past the span, never past safe_end).
+// `has_ff` comes from build_marks: false means the span is guaranteed
+// FF-free, so the fast paths skip their in-range FF movemask test.
 // Returns destuffed byte count or -1 on overflow.
 //
 // Fast path: segments average a few dozen bytes and are overwhelmingly
-// FF-free, so one 32-byte masked load + FF movemask + per-u32 byte-reverse
-// shuffle + one store covers the whole segment; the 8-byte word loop below
-// handles longer segments, and the byte loop destuffs when an FF appears.
+// FF-free, so one 32-byte masked load + per-u32 byte-reverse shuffle + one
+// store covers the whole segment; the 8-byte word loop below handles longer
+// segments, and the byte loop destuffs when an FF appears.
 int64_t pack_segment_row(const uint8_t* scan, SegSpan span, uint32_t* row,
-                         int64_t W, int64_t safe_end) {
+                         int64_t W, int64_t safe_end, bool has_ff = true) {
   const int64_t max_bytes = W * 4;
   const int64_t raw = span.end - span.begin;
   const uint8_t* src = scan + span.begin;
@@ -480,8 +503,11 @@ int64_t pack_segment_row(const uint8_t* scan, SegSpan span, uint32_t* row,
   if (raw <= 32 && max_bytes >= 32 && span.begin + 32 <= safe_end) {
     const __m256i v =
         _mm256_loadu_si256(reinterpret_cast<const __m256i*>(src));
-    const uint32_t ffm = static_cast<uint32_t>(_mm256_movemask_epi8(
-        _mm256_cmpeq_epi8(v, _mm256_set1_epi8(static_cast<char>(0xFF)))));
+    uint32_t ffm = 0;
+    if (has_ff) {
+      ffm = static_cast<uint32_t>(_mm256_movemask_epi8(
+          _mm256_cmpeq_epi8(v, _mm256_set1_epi8(static_cast<char>(0xFF)))));
+    }
     const uint32_t lenm =
         raw >= 32 ? 0xFFFFFFFFu : ((1u << raw) - 1u);
     if ((ffm & lenm) == 0) {
@@ -505,13 +531,15 @@ int64_t pack_segment_row(const uint8_t* scan, SegSpan span, uint32_t* row,
         _mm256_loadu_si256(reinterpret_cast<const __m256i*>(src));
     const __m256i v1 =
         _mm256_loadu_si256(reinterpret_cast<const __m256i*>(src + 32));
-    const __m256i ff = _mm256_set1_epi8(static_cast<char>(0xFF));
-    const uint64_t ffm =
-        static_cast<uint32_t>(
-            _mm256_movemask_epi8(_mm256_cmpeq_epi8(v0, ff))) |
-        (static_cast<uint64_t>(static_cast<uint32_t>(
-             _mm256_movemask_epi8(_mm256_cmpeq_epi8(v1, ff))))
-         << 32);
+    uint64_t ffm = 0;
+    if (has_ff) {
+      const __m256i ff = _mm256_set1_epi8(static_cast<char>(0xFF));
+      ffm = static_cast<uint32_t>(
+                _mm256_movemask_epi8(_mm256_cmpeq_epi8(v0, ff))) |
+            (static_cast<uint64_t>(static_cast<uint32_t>(
+                 _mm256_movemask_epi8(_mm256_cmpeq_epi8(v1, ff))))
+             << 32);
+    }
     const uint64_t lenm =
         raw >= 64 ? ~0ull : ((1ull << raw) - 1ull);
     if ((ffm & lenm) == 0) {
@@ -574,6 +602,149 @@ int64_t pack_segment_row(const uint8_t* scan, SegSpan span, uint32_t* row,
   return off;
 }
 
+// Single-pass serial pack into the block layout: walk the scan's FF bytes
+// ONCE, emitting each segment into an L1-resident 8-row strip as its
+// terminating RST marker is found — no marks array, no second byte walk.
+// This is the steady-state streaming configuration (n_threads == 1: stream
+// callers run several single-threaded prepares concurrently), where the
+// two-phase build_marks+pack costs ~40% more wall time per frame.
+//
+// Position bookkeeping is incremental (segment -> (MCU row, column) ->
+// tiled slot with shifts only; no divisions in the loop). Padding slots are
+// zeroed afterwards from the active mask (scattered under the tiled
+// permutation, but only ~7% of rows on typical geometry).
+// Returns 0, or -2 segment overflow, -3 interval count mismatch.
+static int pack_blocks_fused_serial(const uint8_t* scan, int64_t len,
+                                    int64_t expected, int32_t W, int32_t G,
+                                    uint32_t* words, int32_t* active,
+                                    int64_t safe, int32_t tile_spr,
+                                    int32_t tile_ntc, int32_t tile_band_rows) {
+  const int64_t total = static_cast<int64_t>(G) * kSegsPerBlock;
+  std::memset(active, 0, sizeof(int32_t) * total);
+  const bool tiled = tile_spr > 0 && tile_ntc > 0;
+
+  thread_local std::vector<uint32_t> strip;
+  strip.resize(8 * static_cast<size_t>(W));
+  int64_t k8 = 0;
+#if defined(__AVX2__)
+  k8 = W & ~int64_t{7};
+#endif
+  uint32_t present = 0;         // bitmask of packed strip rows
+  int64_t cur_block = -1, cur_r0 = 0;
+
+  auto flush = [&]() {
+    if (cur_block < 0 || !present) {
+      present = 0;
+      return;
+    }
+    uint32_t* out = words + cur_block * static_cast<int64_t>(W) * kSegsPerBlock;
+    if (present == 0xFF) {
+#if defined(__AVX2__)
+      for (int64_t k0 = 0; k0 < k8; k0 += 8)
+        transpose8x8_u32(strip.data() + k0, W,
+                         out + k0 * kSegsPerBlock + cur_r0, kSegsPerBlock);
+#endif
+      for (int64_t k = k8; k < W; k++) {
+        uint32_t* dst = out + k * kSegsPerBlock + cur_r0;
+        const uint32_t* src = strip.data() + k;
+        for (int64_t dr = 0; dr < 8; dr++) dst[dr] = src[dr * W];
+      }
+    } else {
+      for (int64_t dr = 0; dr < 8; dr++) {
+        if (!((present >> dr) & 1)) continue;
+        for (int64_t k = 0; k < W; k++)
+          out[k * kSegsPerBlock + cur_r0 + dr] = strip[dr * W + k];
+      }
+    }
+    present = 0;
+  };
+
+  // Incremental segment position: (mr, sc) with shift-only slot math.
+  int64_t seg = 0, seg_start = 0, mr = 0, sc = 0;
+  bool pend = false;   // FF seen inside the current segment
+  bool overflow = false;
+  const int64_t ntrb = tile_band_rows > 0 ? (tile_band_rows + 7) >> 3 : 0;
+
+  auto emit = [&](int64_t end) -> bool {
+    int64_t row;
+    if (tiled) {
+      int64_t bt, lmr;
+      if (tile_band_rows > 0) {
+        lmr = mr % tile_band_rows;
+        bt = (mr / tile_band_rows) * ntrb + (lmr >> 3);
+      } else {
+        lmr = mr;
+        bt = mr >> 3;
+      }
+      row = ((bt * tile_ntc + (sc >> 7)) * kSublanes + (lmr & 7)) * kLanes +
+            (sc & 127);
+      sc++;
+      if (sc == tile_spr) {
+        sc = 0;
+        mr++;
+      }
+    } else {
+      row = seg;
+    }
+    seg++;
+    if (row < 0 || row >= total) return false;
+    const int64_t block = row >> 10;
+    const int64_t r = row & 1023;
+    if (block != cur_block || (r & ~int64_t{7}) != cur_r0) {
+      flush();
+      cur_block = block;
+      cur_r0 = r & ~int64_t{7};
+    }
+    const int64_t dr = r & 7;
+    if (pack_segment_row(scan, {seg_start, end}, strip.data() + dr * W, W,
+                         safe, pend) < 0)
+      return false;
+    present |= 1u << dr;
+    active[row] = 1;
+    seg_start = end + 2;
+    pend = false;
+    return true;
+  };
+
+  int64_t term = -1;
+  bool miscount = false;
+  visit_ff(scan, 0, len, [&](int64_t i) {
+    if (term >= 0 || overflow || miscount) return;
+    if (i + 1 >= len) {  // trailing lone FF is plain segment data
+      pend = true;
+      return;
+    }
+    uint8_t nxt = scan[i + 1];
+    if (nxt >= 0xD0 && nxt <= 0xD7) {
+      if (seg >= expected - 1) {
+        miscount = true;  // more markers than expected
+        return;
+      }
+      if (!emit(i)) overflow = true;
+    } else if (nxt == 0x00 || nxt == 0xFF) {
+      pend = true;
+    } else {
+      term = i;
+    }
+  });
+  if (overflow) return -2;
+  if (miscount || seg != expected - 1) return -3;
+  if (!emit(term >= 0 ? term : len)) return -2;
+  flush();
+
+  // Zero the padding slots (active == 0). Scattered under the tiled
+  // permutation; strided column stores, ~7% of rows on typical geometry.
+  for (int64_t g = 0; g < G; g++) {
+    const int32_t* act = active + g * kSegsPerBlock;
+    uint32_t* out = words + g * static_cast<int64_t>(W) * kSegsPerBlock;
+    for (int64_t r = 0; r < kSegsPerBlock; r++) {
+      if (act[r]) continue;
+      for (int64_t k = 0; k < W; k++) out[k * kSegsPerBlock + r] = 0;
+    }
+  }
+  return 0;
+}
+
 }  // namespace
 
 // Destuff + split + pack into contiguous per-segment rows [G*1024, W]
@@ -599,10 +770,14 @@ int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
   const uint8_t* scan = data + offset;
 
   int nt = n_threads > 0 ? n_threads : 1;
-  std::vector<SegSpan> spans;
-  if (!build_spans(scan, len, expected, nt, spans)) return -3;
+  std::vector<int64_t> marks;
+  std::vector<uint8_t> hasff;
+  if (!build_marks(scan, len, expected, nt, marks, hasff)) return -3;
+  auto seg_span = [&](int64_t s) -> SegSpan {
+    return {s ? marks[s - 1] + 2 : 0, marks[s]};
+  };
 
-  const int64_t nseg = spans.size();
+  const int64_t nseg = expected;
   const int64_t total = static_cast<int64_t>(G) * kSegsPerBlock;
   std::memset(active, 0, sizeof(int32_t) * total);
 
@@ -639,7 +814,8 @@ int compeg_pack_rows(const uint8_t* data, int64_t data_len, int64_t offset,
               (sc & 127);
       }
       if (row >= total ||
-          pack_segment_row(scan, spans[s], words + row * W, W, safe) < 0) {
+          pack_segment_row(scan, seg_span(s), words + row * W, W, safe,
+                           hasff[s] != 0) < 0) {
         rcs[t] = -2;
         return;
       }
@@ -675,13 +851,23 @@ int compeg_pack_blocks(const uint8_t* data, int64_t data_len, int64_t offset,
   const uint8_t* scan = data + offset;
 
   int nt = n_threads > 0 ? n_threads : 1;
-  std::vector<SegSpan> spans;
-  if (!build_spans(scan, len, expected, nt, spans)) return -3;
-  const int64_t nseg = spans.size();
+  if (nt == 1)
+    return pack_blocks_fused_serial(scan, len, expected, W, G, words, active,
+                                    data_len - offset, tile_spr, tile_ntc,
+                                    tile_band_rows);
+  std::vector<int64_t> marks;
+  std::vector<uint8_t> hasff;
+  if (!build_marks(scan, len, expected, nt, marks, hasff)) return -3;
+  auto seg_span = [&](int64_t s) -> SegSpan {
+    return {s ? marks[s - 1] + 2 : 0, marks[s]};
+  };
+  const int64_t nseg = expected;
 
-  // Phase B (parallel over blocks): pack the block's segments into a
-  // thread-local [1024, W] row buffer, then transpose into [W, 8, 128]
-  // (inner loop writes 512-byte contiguous lane runs).
+  // Phase B (parallel over blocks): pack 8 segments at a time into an
+  // L1-resident [8, W] strip, then 8x8-transpose the strip straight into
+  // the block's [W, 8, 128] layout (a whole-block [1024, W] staging buffer
+  // is ~36 KB at typical W — it spills L1 and re-reads from L2 during the
+  // transpose; the strip stays in L1 end to end).
   const bool tiled = tile_spr > 0 && tile_ntc > 0;
   const int64_t safe = data_len - offset;
   // One task per block: fine-grained tasks let the caller and late-waking
@@ -689,46 +875,62 @@ int compeg_pack_blocks(const uint8_t* data, int64_t data_len, int64_t offset,
   std::vector<int> rcs(static_cast<size_t>(G), 0);
   auto work = [&](int g64) {
     const int64_t g = g64;
-    // Per-OS-thread row staging buffer, reused across tasks and calls.
-    thread_local std::vector<uint32_t> buf;
-    buf.resize(static_cast<size_t>(kSegsPerBlock) * W);
+    // Per-OS-thread strip buffer, reused across tasks and calls.
+    thread_local std::vector<uint32_t> strip;
+    strip.resize(8 * static_cast<size_t>(W));
     int32_t* act = active + g * kSegsPerBlock;
-    for (int64_t r = 0; r < kSegsPerBlock; r++) {
-      int64_t seg;
-      if (tiled) {
-        // Inverse of the tiled slot map: block g = (bt, tc); slot (s, l)
-        // -> MCU row band*band_rows + ltr*8 + s, segment col tc*128+l.
-        const int64_t ntc = tile_ntc;
-        const int64_t bt = g / ntc;
-        const int64_t sc = (g % ntc) * kLanes + (r & 127);
-        int64_t mr;
-        bool row_ok = true;
-        if (tile_band_rows > 0) {
-          const int64_t ntrb = (tile_band_rows + 7) >> 3;
-          const int64_t lmr = (bt % ntrb) * kSublanes + (r >> 7);
-          mr = (bt / ntrb) * tile_band_rows + lmr;
-          row_ok = lmr < tile_band_rows;  // band-internal padding rows
-        } else {
-          mr = bt * kSublanes + (r >> 7);
-        }
-        seg = (row_ok && sc < tile_spr) ? mr * tile_spr + sc : -1;
-      } else {
-        seg = g * kSegsPerBlock + r;
-      }
-      if (seg < 0 || seg >= nseg) {
-        std::memset(buf.data() + r * W, 0, sizeof(uint32_t) * W);
-        act[r] = 0;
-        continue;
-      }
-      if (pack_segment_row(scan, spans[seg], buf.data() + r * W, W, safe) <
-          0) {
-        rcs[g] = -2;
-        return;
-      }
-      act[r] = 1;
-    }
     uint32_t* out = words + g * static_cast<int64_t>(W) * kSegsPerBlock;
-    transpose_rows_to_cols(buf.data(), kSegsPerBlock, W, out);
+    int64_t k8 = 0;
+#if defined(__AVX2__)
+    k8 = W & ~int64_t{7};
+#endif
+    for (int64_t r0 = 0; r0 < kSegsPerBlock; r0 += 8) {
+      for (int64_t dr = 0; dr < 8; dr++) {
+        const int64_t r = r0 + dr;
+        int64_t seg;
+        if (tiled) {
+          // Inverse of the tiled slot map: block g = (bt, tc); slot (s, l)
+          // -> MCU row band*band_rows + ltr*8 + s, segment col tc*128+l.
+          const int64_t ntc = tile_ntc;
+          const int64_t bt = g / ntc;
+          const int64_t sc = (g % ntc) * kLanes + (r & 127);
+          int64_t mr;
+          bool row_ok = true;
+          if (tile_band_rows > 0) {
+            const int64_t ntrb = (tile_band_rows + 7) >> 3;
+            const int64_t lmr = (bt % ntrb) * kSublanes + (r >> 7);
+            mr = (bt / ntrb) * tile_band_rows + lmr;
+            row_ok = lmr < tile_band_rows;  // band-internal padding rows
+          } else {
+            mr = bt * kSublanes + (r >> 7);
+          }
+          seg = (row_ok && sc < tile_spr) ? mr * tile_spr + sc : -1;
+        } else {
+          seg = g * kSegsPerBlock + r;
+        }
+        if (seg < 0 || seg >= nseg) {
+          std::memset(strip.data() + dr * W, 0, sizeof(uint32_t) * W);
+          act[r] = 0;
+          continue;
+        }
+        if (pack_segment_row(scan, seg_span(seg), strip.data() + dr * W, W,
+                             safe, hasff[seg] != 0) < 0) {
+          rcs[g] = -2;
+          return;
+        }
+        act[r] = 1;
+      }
+#if defined(__AVX2__)
+      for (int64_t k0 = 0; k0 < k8; k0 += 8)
+        transpose8x8_u32(strip.data() + k0, W, out + k0 * kSegsPerBlock + r0,
+                         kSegsPerBlock);
+#endif
+      for (int64_t k = k8; k < W; k++) {
+        uint32_t* dst = out + k * kSegsPerBlock + r0;
+        const uint32_t* src = strip.data() + k;
+        for (int64_t dr = 0; dr < 8; dr++) dst[dr] = src[dr * W];
+      }
+    }
   };
   if (nt <= 1) {
     for (int64_t g = 0; g < G; g++) work(static_cast<int>(g));

@@ -350,6 +350,11 @@ class Decoder:
         # header bytes misses and replaces it — so memory is bounded at one
         # parsed template plus ~600 header bytes; no eviction policy needed.
         self._hdr_cache: Optional[Tuple[bytes, ImageData]] = None
+        # Host-side stream constants (EntropyPlan, quantizer rows, geometry)
+        # for the header-cached stream, keyed by (words_per_segment, blocks).
+        # Rebuilding these per frame is pure-Python work serialized under
+        # the GIL — it caps the aggregate multi-thread prepare rate.
+        self._host_consts: Optional[tuple] = None
         self._warned_parallelism = False
 
     def _bucket_width(self, needed: int) -> int:
@@ -364,6 +369,7 @@ class Decoder:
         from . import native
         from .profiling import stage_timer
 
+        hdr_hit = hdr_stored = False
         with stage_timer("parse"):
             if isinstance(data, ImageData):
                 img = data
@@ -396,6 +402,7 @@ class Decoder:
                         img = dataclasses.replace(
                             tmpl, source=src, scan_data=scan
                         )
+                        hdr_hit = True
                 if img is None:
                     img = analyze(data)
                     if img.source is not None:
@@ -403,6 +410,8 @@ class Decoder:
                             img.source[: img.scan_offset],
                             img,
                         )
+                        self._host_consts = None  # new stream header
+                        hdr_stored = True
         expected = img.total_restart_intervals
         if expected < 10000 and not getattr(self, "_warned_parallelism", False):
             # Same guidance as the reference (src/lib.rs:838-846): few restart
@@ -487,8 +496,20 @@ class Decoder:
             )
             dscan = S.DeviceScan(rows, blk.active, blk.num_segments,
                                  blk.words_per_segment)
-        plan = E.plan_from_image(img, dscan, zrl17=self.zrl_compat)
         tiling = (tile.n_tr, tile.n_tc) if tile is not None else None
+        # Stream-constant host objects: on a header-cache hit with unchanged
+        # packing shape, the plan/quantizers/geometry of the previous frame
+        # apply verbatim (they are pure functions of the header + (W, G)).
+        ckey = (dscan.words_per_segment, dscan.num_blocks, tiling)
+        hc = self._host_consts
+        if hdr_hit and hc is not None and hc[0] == ckey:
+            plan, qz_by_slot, geom = hc[1], hc[2], hc[3]
+        else:
+            plan = E.plan_from_image(img, dscan, zrl17=self.zrl_compat)
+            qz_by_slot = D.qz_by_slot_array(img)
+            geom = FrameGeometry.from_image(img, tiling)
+            if hdr_hit or hdr_stored:  # frame belongs to the cached stream
+                self._host_consts = (ckey, plan, qz_by_slot, geom)
         # The mask depends on the full MCU-grid shape, not just the MCU
         # count: a 8x2 and a 2x8 grid share (ri, total_mcus, blocks, tiling)
         # but activate different tiled slots.
@@ -516,9 +537,9 @@ class Decoder:
         return PreparedFrame(
             words=np.asarray(dscan.words, dtype=np.uint32),
             seg_mcus=seg_mcus,
-            qz_by_slot=D.qz_by_slot_array(img),
+            qz_by_slot=qz_by_slot,
             plan=plan,
-            geom=FrameGeometry.from_image(img, tiling),
+            geom=geom,
             image=img,
         )
 
