@@ -91,6 +91,60 @@ def hard_sync(x) -> None:
     np.asarray(jnp.max(jnp.ravel(x)[:1]))
 
 
+def trace_device_ms(run_frame, frames: int = 5):
+    """Device time per frame from a jax.profiler trace: sum of the XLA Ops
+    lane over `frames` calls of ``run_frame()`` (dispatch the frame, return
+    the output array).
+
+    This is the rig's only trustworthy per-frame device number: wall clock
+    through the tunnel drifts 2x between processes, and summing only the
+    top-N trace ops undercounts the epilogue tail. Returns
+    ``(total_ms_per_frame, rows)`` with rows = [(ms_per_frame, count, op)].
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import os
+    import tempfile
+
+    import jax
+
+    out = run_frame()
+    hard_sync(out)
+    logdir = tempfile.mkdtemp(prefix="compeg_trace_")
+    jax.profiler.start_trace(logdir)
+    for _ in range(frames):
+        out = run_frame()
+    hard_sync(out)
+    jax.profiler.stop_trace()
+    fs = sorted(glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
+                          recursive=True))
+    d = json.load(gzip.open(fs[-1]))
+    pnames, tnames = {}, {}
+    for e in d["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pnames[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tnames[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    agg = collections.defaultdict(float)
+    cnt = collections.defaultdict(int)
+    total = 0.0
+    for e in d["traceEvents"]:
+        if e.get("ph") != "X" or "TPU" not in pnames.get(e.get("pid"), ""):
+            continue
+        if tnames.get((e["pid"], e.get("tid"))) != "XLA Ops":
+            continue
+        agg[e.get("name", "")] += e.get("dur", 0)
+        cnt[e.get("name", "")] += 1
+        total += e.get("dur", 0)
+    rows = sorted(
+        ((v / frames / 1e3, cnt[k] // frames, k) for k, v in agg.items()),
+        reverse=True,
+    )
+    return total / frames / 1e3, rows
+
+
 @contextlib.contextmanager
 def device_trace(logdir: Optional[str] = None) -> Iterator[None]:
     """jax.profiler trace wrapper (XLA device timeline -> TensorBoard format);

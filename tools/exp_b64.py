@@ -2,34 +2,19 @@
 """BASELINE-scale batching: compile time + per-frame device time at B=64
 vs B=8 vs single-frame (VERDICT r2 weak item 4: the batched epilogue
 unrolls per frame inside one jit; is that still fine at B=64?)."""
-import sys, os, time, glob, gzip, json, collections
+import sys, os, time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import jax, numpy as np
 from compeg_tpu.batch import BatchDecoder
 from compeg_tpu.pipeline import Decoder
-from compeg_tpu.profiling import hard_sync
+from compeg_tpu.profiling import hard_sync, trace_device_ms
 
 data = open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                          "bench_assets", "bench4k.jpg"), "rb").read()
 
 def trace_ms(fn, reps=3):
-    logdir = f"/tmp/tr_b64_{int(time.time()*1000)}"
-    jax.profiler.start_trace(logdir)
-    out = None
-    for _ in range(reps):
-        out = fn()
-    hard_sync(out)
-    jax.profiler.stop_trace()
-    fs = sorted(glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True))
-    d = json.load(gzip.open(fs[-1]))
-    pids = {e["pid"]: e["args"].get("name", "") for e in d["traceEvents"]
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    tot = 0.0
-    for e in d["traceEvents"]:
-        if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), ""):
-            if not e.get("name", "").startswith("jit_"):
-                tot += e.get("dur", 0)
-    return tot / reps / 1e3
+    total, _ = trace_device_ms(fn, reps)
+    return total
 
 # Single-frame reference.
 dec = Decoder()
