@@ -730,6 +730,72 @@ def _upsample_fancy_v_sharded(
     return jnp.stack([even, odd], axis=1).reshape(2 * h, w)
 
 
+def _finalize_planes_nearest_packed(
+    planes, samplings, width, height, rgb, max_h, max_v
+) -> jax.Array:
+    """Nearest-neighbor epilogue over byte-packed planes with the chroma
+    repeat done ONCE per component at word level (one broadcast+reshape),
+    followed by per-lane vector-shift byte extraction that XLA fuses into
+    the color/interleave output pass. Bit-identical to the sub-plane
+    formulation in finalize_planes (same integer arithmetic; only the
+    order of the repeat vs the byte unpack changes)."""
+    ys = [
+        (jax.lax.shift_right_logical(planes[0], U32(8 * b)) & U32(0xFF))
+        .astype(jnp.int32)
+        for b in range(4)
+    ]
+    Wy = ys[0].shape[1]
+
+    def chroma_grid(plane, sh, sv):
+        f = max_h // sh
+        fy = max_v // sv
+        H, Wc = plane.shape
+        p = plane
+        if f > 1 or fy > 1:
+            # One fused repeat over both axes: luma-grid word (r, w) reads
+            # chroma word (r // fy, w // f).
+            p = jnp.broadcast_to(
+                p[:, None, :, None], (H, fy, Wc, f)
+            ).reshape(H * fy, Wc * f)
+        if f == 2:
+            # Byte index within the repeated word: (w % 2) * 2 + b // 2.
+            sh16 = ((jnp.arange(Wy, dtype=U32) & U32(1)) * U32(16))[None, :]
+            return [
+                (jax.lax.shift_right_logical(p, sh16 + U32(8 * (b // 2)))
+                 & U32(0xFF)).astype(jnp.int32)
+                for b in range(4)
+            ]
+        if f == 4:
+            # 4:1:1 replication: byte w % 4, independent of b.
+            sh8 = ((jnp.arange(Wy, dtype=U32) & U32(3)) * U32(8))[None, :]
+            v = (jax.lax.shift_right_logical(p, sh8) & U32(0xFF)).astype(
+                jnp.int32
+            )
+            return [v] * 4
+        return [
+            (jax.lax.shift_right_logical(p, U32(8 * b)) & U32(0xFF))
+            .astype(jnp.int32)
+            for b in range(4)
+        ]
+
+    cbs = chroma_grid(planes[1], *samplings[1])
+    crs = chroma_grid(planes[2], *samplings[2])
+    rgba_subs = []
+    for y, cb, cr in zip(ys, cbs, crs):
+        if rgb:
+            r, g, b = y, cb, cr
+        else:
+            cb = cb - 128
+            cr = cr - 128
+            r = jnp.clip(y + ((45 * cr) >> 5), 0, 255)
+            g = jnp.clip(y - ((11 * cb + 23 * cr) >> 5), 0, 255)
+            b = jnp.clip(y + ((113 * cb) >> 6), 0, 255)
+        rgba_subs.append(r | (g << 8) | (b << 16) | jnp.int32(-16777216))
+    hq, wq = rgba_subs[0].shape
+    img = jnp.stack(rgba_subs, axis=2).reshape(hq, wq * 4)
+    return jax.lax.bitcast_convert_type(img[:height, :width], U32)
+
+
 def finalize_planes(
     planes: Tuple[jax.Array, ...],
     samplings: Tuple[Tuple[int, int], ...],
@@ -758,6 +824,26 @@ def finalize_planes(
 
     max_h = max(s[0] for s in samplings)
     max_v = max(s[1] for s in samplings)
+
+    if not fancy and len(planes) > 1 and (
+        max_h // samplings[1][0] > 1 or max_v // samplings[1][1] > 1
+    ):
+        # Nearest-neighbor chroma on the PACKED word grid: the sub-plane
+        # formulation below materializes 4 repeated arrays per chroma
+        # component (XLA does not fuse the column repeat into the output
+        # pass — 8 broadcast+reshape materializations, ~0.1 ms/4K frame).
+        # Instead repeat each chroma plane ONCE at word level (luma word w
+        # maps to chroma word w//fx) and extract the per-output-byte sample
+        # with a per-lane vector shift — pure elementwise on the repeated
+        # words, which fuses into the final color/interleave pass:
+        #   fx=2: pixel x=4w+b reads sample 2w + b//2 = byte (w%2)*2 + b//2
+        #         of chroma word w//2 -> shift (w%2)*16 + (b//2)*8.
+        #   fx=4: pixel x=4w+b reads sample w = byte w%4 of word w//4
+        #         -> shift (w%4)*8, independent of b.
+        return _finalize_planes_nearest_packed(
+            planes, samplings, width, height, rgb, max_h, max_v
+        )
+
     comps = []
     for plane, (sh, sv) in zip(planes, samplings):
         subs = [

@@ -306,10 +306,16 @@ class Decoder:
         # "Compeg-compat" configuration (PARITY.md).
         self.zrl_compat = zrl_compat
         # planes_epilogue: route the fused kernel through the byte-packed
-        # per-component-plane output + XLA epilogue (faster: 4x less slab
-        # traffic) instead of the in-kernel RGBA composite. None = auto
-        # (planes whenever the raster-tiled layout applies). False keeps the
-        # composite path (debug/A-B).
+        # per-component-plane output + XLA epilogue instead of the in-kernel
+        # RGBA composite. None = auto: composite for nearest upsampling,
+        # planes for fancy (which needs raster-space neighbors). True forces
+        # planes (A/B; also the decode_ycbcr formulation), False forces the
+        # composite. R4 finding (tools/trace_ops.py, full-ops-lane sums):
+        # the planes path's final interleave materializes ~0.11 ms/4K frame
+        # of XLA copies that no formulation or layout constraint removes
+        # (tools/exp_layout.py), so composite + one-swap assembly is faster
+        # for nearest: 0.836 vs 0.905 ms device (r2 chose planes using a
+        # top-12-op trace sum that undercounted that tail).
         self.planes_epilogue = planes_epilogue
         # Device-buffer budget per frame — the analogue of the reference's
         # MAX_RESTART_INTERVALS dispatch cap (src/lib.rs:295-298). A
@@ -591,8 +597,9 @@ class Decoder:
         # planes_epilogue=False: the words carry the raster-tiled slot
         # permutation, which the staged fallback (linear slots) cannot
         # decode, and the planes path is the only fused fancy formulation.
+        # Nearest defaults to the in-kernel composite (see __init__).
         use_planes = pf.geom.tiling is not None and (
-            self.planes_epilogue is not False or self.fancy
+            self.planes_epilogue is True or self.fancy
         )
         if self.fused and (use_planes or not self.fancy):
             idct_l = self._stream_consts(pf)
