@@ -118,32 +118,40 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
             # (A hot/cold split of the store at row 16 with a scalar any()
             # gate measured ~1.8x SLOWER on the chip — the in-loop branch
             # and sliced masked store cost more than the tall store saves.)
+            #
+            # Lane liveness is folded into the position: pos >= 63 means the
+            # lane is finished (EOB, invalid symbol, position overrun, or
+            # inactive — pos starts at 64 for padding lanes), so there is no
+            # separate done vector. The advance is uniform because ZRL
+            # (value 0xF0: rrrr=15, s=0) skips exactly rrrr + 1 = 16
+            # positions like a (run, size) symbol commits at pos+rrrr+1 —
+            # only EOB/invalid (s == 0, rrrr != 15) diverge, jumping to 64.
+            # This costs ~10 fewer vector ops per symbol than the explicit
+            # eob/zrl/normal/invalid classification it replaces.
             iota_z = jax.lax.broadcasted_iota(I32, (64, SUBLANES, LANES), 0)
 
             def cond(state):
-                done = state[0]
-                return jnp.any(done == 0)
+                pos = state[0]
+                return jnp.any(pos < 63)
 
             def step(state):
-                done, pos, hi, lo, nbits, widx = state
-                mask = done == 0
+                pos, hi, lo, nbits, widx = state
+                mask = pos < 63
                 value, s, v, hi, lo, nbits, widx = decode_symbol(
                     actab, hi, lo, nbits, widx, mask, lambda val: val & 0xF
                 )
                 rrrr = jax.lax.shift_right_logical(value, 4)
                 coeff = _extend(v, s)
-                is_eob = mask & (value == 0)
-                is_zrl = mask & (value == 0xF0)
-                normal = mask & (s != 0)
-                # Compat mode (plan.zrl17): the reference skips 17 positions
-                # per ZRL (src/huffman.wgsl:182-185); spec/libjpeg skip 16.
-                zrl_adv = 17 if plan.zrl17 else 16
-                newpos = jnp.where(
-                    is_zrl, pos + zrl_adv, jnp.where(normal, pos + rrrr + 1, pos)
-                )
+                newpos = pos + rrrr + 1
+                if plan.zrl17:
+                    # Compat mode: the reference skips 17 positions per ZRL
+                    # (src/huffman.wgsl:182-185); spec/libjpeg skip 16.
+                    newpos = newpos + ((s == 0) & (rrrr == 15)).astype(I32)
                 # Lanes with nothing to write target row 64 (out of range),
-                # so the write predicate folds into the row compare.
-                wrow = jnp.where(normal & (newpos <= 63), newpos, 64)
+                # so the write predicate folds into the row compare; finished
+                # lanes are excluded by newpos >= 65 (pos >= 64), no mask
+                # needed.
+                wrow = jnp.where((s != 0) & (newpos <= 63), newpos, 64)
                 if _ablate == "densestore":
                     # Budget probe: dense row-0 store, identical control flow.
                     coeff_s[slot, 1] = coeff + wrow
@@ -153,14 +161,11 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
                         jnp.broadcast_to(coeff[None], (64, SUBLANES, LANES)),
                         mask=iota_z == wrow[None],
                     )
-                # Invalid symbols (s == 0 but neither EOB nor ZRL) would
-                # leave the position unchanged forever on a corrupt stream;
-                # terminate such lanes like an EOB.
-                invalid = mask & (s == 0) & jnp.logical_not(is_eob | is_zrl)
-                done = done | (
-                    is_eob | invalid | (mask & (newpos >= 63))
-                ).astype(I32)
-                return done, newpos, hi, lo, nbits, widx
+                # EOB and invalid symbols (s == 0, not ZRL) terminate the
+                # lane; ZRL and committed coefficients advance, finishing
+                # naturally once newpos >= 63.
+                pos = jnp.where((s == 0) & (rrrr != 15), 64, newpos)
+                return pos, hi, lo, nbits, widx
 
             def body(state):
                 # Several symbols per trip amortize the cross-lane exit-check
@@ -169,12 +174,11 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
                     state = step(state)
                 return state
 
-            done0 = jnp.logical_not(act).astype(I32)
+            pos0 = jnp.where(act, 0, 64)
             state = jax.lax.while_loop(
-                cond, body,
-                (done0, jnp.zeros_like(widx), hi, lo, nbits, widx),
+                cond, body, (pos0, hi, lo, nbits, widx)
             )
-            _, _, hi, lo, nbits, widx = state
+            _, hi, lo, nbits, widx = state
 
         hi_s[:], lo_s[:] = hi, lo
         nb_s[:], wi_s[:] = nbits, widx
