@@ -55,20 +55,36 @@ def decode_batch_fused(
     One kernel launch covers every restart segment of every frame (the grid
     is just "blocks of 1024 segments", so frames concatenate along it), and
     the caller's single ``words`` array means one h2d transfer per batch —
-    the transfer-latency amortization the tunnel-bound rig needs. Returns
-    packed RGBA ``[B, H, W]`` u32.
+    the transfer-latency amortization the tunnel-bound rig needs. Returns a
+    TUPLE of B packed-RGBA ``[H, W]`` u32 arrays (not a stacked [B, H, W]:
+    the stack is a pure concat copy, ~0.1 ms/4K frame of device time that
+    per-frame outputs simply don't pay — r4 B=8 trace).
     """
     from .ops import fused as F
     from .pipeline import _as_blocks
 
-    if geom.tiling is not None:
-        # Fast path, same as the single-frame default: byte-packed
-        # per-component planes + XLA-fused upsample/color epilogue. Batched
+    if geom.tiling is not None and not fancy:
+        # Fast path, same as the single-frame default (r4): the in-kernel
+        # RGBA composite + one minor-swap assembly per frame. Batched
         # frames concatenate along the tile-row axis (blocks are (tr, tc)
-        # row-major per frame), so each plane assembles as ONE tall tiled
-        # image — a single flat transpose with the same per-frame cost as
-        # the single-frame path (a vmapped per-frame assembly measured ~2x
-        # slower: 7D batched transposes).
+        # row-major per frame), so frame i's image is tile-rows
+        # [i*n_tr, (i+1)*n_tr) of the one slab — a free major-dim slice.
+        blocks = F.fused_decode_blocks(
+            _as_blocks(words), seg_mcus, idct_l, plan, geom.samplings,
+            retained, interpret, exact_idct, tiled=True,
+            tiling=(batch * geom.tiling[0], geom.tiling[1]), rgb=geom.rgb,
+        )
+        n_tr1 = geom.tiling[0]
+        return tuple(
+            F.assemble_image_tiled(
+                blocks[i * n_tr1 : (i + 1) * n_tr1], geom
+            )
+            for i in range(batch)
+        )
+    if geom.tiling is not None:
+        # Fancy upsampling rides the per-component planes + XLA epilogue
+        # (the triangle filter needs raster-space neighbors). Batched
+        # frames concatenate along the tile-row axis as above.
         slabs = F.fused_decode_planes(
             _as_blocks(words), seg_mcus, idct_l, plan, geom.samplings,
             (batch * geom.tiling[0], geom.tiling[1]),
@@ -97,7 +113,7 @@ def decode_batch_fused(
                     rgb=geom.rgb,
                 )
             )
-        return jnp.stack(outs)
+        return tuple(outs)
     blocks = F.fused_decode_blocks(
         _as_blocks(words), seg_mcus, idct_l, plan, geom.samplings,
         retained, interpret, exact_idct, tiled=False, rgb=geom.rgb,
@@ -238,11 +254,13 @@ class BatchDecoder:
             self.fancy,
         )
 
-    def to_rgb(self, out: jax.Array) -> np.ndarray:
+    def to_rgb(self, out) -> np.ndarray:
         """Device batch output -> [B, H, W, 3] u8 (synchronizes)."""
-        if out.ndim == 3:  # fused paths: packed RGBA u32 [B, H, W]
-            from .ops.fused import rgba_to_rgb_array
+        from .ops.fused import rgba_to_rgb_array
 
+        if isinstance(out, (tuple, list)):  # fused paths: per-frame RGBA u32
+            return np.stack([rgba_to_rgb_array(np.asarray(o)) for o in out])
+        if out.ndim == 3:  # legacy stacked packed RGBA u32 [B, H, W]
             return np.ascontiguousarray(rgba_to_rgb_array(np.asarray(out)))
         return np.asarray(out)
 

@@ -88,6 +88,9 @@ def hard_sync(x) -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    if isinstance(x, (tuple, list)):
+        # Outputs of one executable complete together; fence the last.
+        x = x[-1]
     np.asarray(jnp.max(jnp.ravel(x)[:1]))
 
 
