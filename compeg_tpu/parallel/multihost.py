@@ -123,14 +123,15 @@ def dryrun_multiprocess(
         interpret=True,
     )
     out.block_until_ready()
-    assert out.shape == (n_data, h, w, 3), out.shape
+    assert out.shape == (n_data, h, w), out.shape  # packed RGBA u32
 
     # Each process checks the frames it holds against the CPU oracle.
     from .. import golden
+    from ..ops.fused import rgba_to_rgb_array
 
     want = golden.decode_rgb(data)
     for shard in out.addressable_shards:
-        got = np.asarray(shard.data)  # [frames_l, rows_l, W, 3]
+        got = rgba_to_rgb_array(np.asarray(shard.data))  # [f_l, rows_l, W, 3]
         ref = want[shard.index[1]]  # same rows of the (identical) frame
         assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1, (
             process_id,

@@ -264,13 +264,16 @@ def decode_batch_sharded(
 ) -> jax.Array:
     """Decode a batch of banded frames over the mesh.
 
-    Returns ``[B, H, W, 3]`` u8, sharded (data, seq-concatenated rows).
-    ``tiling`` must be the frame's ``BandedFrame.tiling`` — it states which
-    slot layout the words were packed in. With it (the fast path) every
-    shard runs the single-chip tiled planes pipeline; ``None`` (the linear
-    fallback layout) takes the staged path. Required keyword: the two
-    layouts are indistinguishable from the arrays alone, and decoding one
-    as the other yields silently wrong pixels.
+    Returns packed RGBA ``[B, H, W]`` u32 (r | g<<8 | b<<16 | a<<24 — the
+    single-chip fused contract; ``ops.fused.rgba_to_rgb_array`` views it as
+    RGB u8 host-side), sharded (data, seq-concatenated rows). ``tiling``
+    must be the frame's ``BandedFrame.tiling`` — it states which slot
+    layout the words were packed in. With it (the fast path) every shard
+    runs the single-chip default pipeline: the in-kernel composite for
+    nearest upsampling, the planes + fused epilogue for fancy; ``None``
+    (the linear fallback layout) takes the staged path. Required keyword:
+    the two layouts are indistinguishable from the arrays alone, and
+    decoding one as the other yields silently wrong pixels.
     """
     B, NB, G_b = words.shape[:3]
     n_data, n_seq = mesh.shape["data"], mesh.shape["seq"]
@@ -352,6 +355,24 @@ def _tiled_program(
         plan_l = dataclasses.replace(plan, num_blocks=flat)
         wf = w_l.reshape((flat,) + w_l.shape[3:])
         sf = s_l.reshape((flat,) + s_l.shape[3:])
+        if not fancy_upsample:
+            # Nearest: the in-kernel composite, same as the single-chip
+            # default. One minor-pair swap over the shard-tall RGBA slab,
+            # then the per-band crop of tile-row padding, then bands/frames
+            # fold into contiguous rows.
+            blocks = F.fused_decode_blocks(
+                wf, sf, lq, plan_l, samplings, retained, interpret,
+                exact_idct, tiled=True,
+                tiling=(B_l * NB_l * n_tr_b, n_tc), rgb=geom.rgb,
+            )
+            rows_tot, RT, M = blocks.shape  # rows_tot = B_l*NB_l*n_tr_b
+            rimw = M // (n_tc * S.LANES)
+            z = blocks.reshape(rows_tot * RT, n_tc, rimw, S.LANES)
+            z = z.swapaxes(2, 3).reshape(rows_tot * RT, M)
+            z = z.reshape(B_l * NB_l, n_tr_b * RT, M)
+            z = z[:, : band_rows * 8 * max_v, : img_w]
+            return z.reshape(B_l, shard_h, img_w)
+
         slabs = F.fused_decode_planes(
             wf, sf, lq, plan_l, samplings,
             (B_l * NB_l * n_tr_b, n_tc),
@@ -380,11 +401,7 @@ def _tiled_program(
                 v_rows=(hm, NB_l * band_rows),
             )
 
-        out = jax.vmap(fin)(tuple(comp_planes))  # [B_l, shard_h, img_w] u32
-        r = (out & 0xFF).astype(jnp.uint8)
-        g = ((out >> 8) & 0xFF).astype(jnp.uint8)
-        b = ((out >> 16) & 0xFF).astype(jnp.uint8)
-        return jnp.stack([r, g, b], axis=-1)
+        return jax.vmap(fin)(tuple(comp_planes))  # [B_l, shard_h, img_w] u32
 
     spec_in = P("data", "seq")
     mapped = jax.shard_map(
@@ -441,7 +458,7 @@ def _staged_program(
         pix = pix.reshape((B_l, NB_l, G_b) + pix.shape[1:])
 
         def one_band(p):
-            return C.finalize_band(
+            rgb = C.finalize_band(
                 p,
                 ri=plan.ri,
                 du_to_comp=plan.du_to_comp,
@@ -451,9 +468,16 @@ def _staged_program(
                 fancy=fancy_upsample,
                 seq_axis="seq" if fancy_upsample else None,
                 rgb=geom.rgb,
+            ).astype(jnp.int32)
+            # Pack to the u32 RGBA contract (elementwise; XLA fuses it
+            # into the finalize pass).
+            packed = (
+                rgb[..., 0] | (rgb[..., 1] << 8) | (rgb[..., 2] << 16)
+                | jnp.int32(-16777216)
             )
+            return jax.lax.bitcast_convert_type(packed, jnp.uint32)
 
-        return jax.vmap(jax.vmap(one_band))(pix)  # [B_l, NB_l, band_h, W, 3]
+        return jax.vmap(jax.vmap(one_band))(pix)  # [B_l, NB_l, band_h, W]
 
     band_h = band_rows * 8 * max(s[1] for s in geom.samplings)
     img_w = wm * 8 * max(s[0] for s in geom.samplings)
@@ -468,7 +492,7 @@ def _staged_program(
 
     def run(w, s, qz):
         B, NB = w.shape[:2]
-        out = mapped(w, s, qz).reshape(B, NB * band_h, img_w, 3)
+        out = mapped(w, s, qz).reshape(B, NB * band_h, img_w)
         return out[:, : geom.height, : geom.width]
 
     return jax.jit(run)
@@ -526,4 +550,5 @@ def dryrun(n_devices: int) -> None:
             **kwargs,
         )
         out.block_until_ready()
-        assert out.shape == (n_data, h, w, 3), out.shape
+        assert out.shape == (n_data, h, w) and out.dtype == jnp.uint32, (
+            out.shape, out.dtype)

@@ -40,7 +40,9 @@ def _decode_sharded(
         fancy_upsample=fancy,
         exact_idct=exact_idct,
     )
-    return np.asarray(out), meta
+    from compeg_tpu.ops.fused import rgba_to_rgb_array
+
+    return rgba_to_rgb_array(np.asarray(out)), meta  # packed u32 -> RGB u8
 
 
 def test_devices_available():
@@ -138,8 +140,10 @@ def test_multiple_bands_per_shard(test_image):
         band_rows=bf.band_rows, tiling=bf.tiling, interpret=True,
         fancy_upsample=True,
     )
+    from compeg_tpu.ops.fused import rgba_to_rgb_array
+
     want = Decoder(interpret=True, fancy_upsampling=True).decode(data)
-    assert np.array_equal(np.asarray(out)[0], want)
+    assert np.array_equal(rgba_to_rgb_array(np.asarray(out))[0], want)
 
 
 def test_sharded_irregular_ri_fallback(test_image):

@@ -47,10 +47,10 @@ t0 = time.time()
 outs = sharded(); hard_sync(outs)
 print(f"sharded compile+run: {time.time()-t0:.1f}s", flush=True)
 
-# Exactness: sharded == unsharded (packed u32 -> rgb) on chip.
+# Exactness: sharded == unsharded (both packed u32) on chip.
 from compeg_tpu.ops.fused import rgba_to_rgb_array
 ref = rgba_to_rgb_array(np.asarray(out0))
-got = np.asarray(outs)[0]
+got = rgba_to_rgb_array(np.asarray(outs))[0]
 print("sharded == unsharded:", np.array_equal(got, ref), flush=True)
 
 def trace(fn, tag):
