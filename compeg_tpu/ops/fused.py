@@ -800,6 +800,93 @@ def _finalize_planes_nearest_packed(
     return jax.lax.bitcast_convert_type(img[:height, :width], U32)
 
 
+def _finalize_planes_fancy422_packed(
+    planes, samplings, width, height, rgb
+) -> jax.Array:
+    """Fancy (triangle-filter) 4:2:2 epilogue on the packed word grid —
+    the horizontal-only analogue of :func:`_finalize_planes_nearest_packed`.
+
+    Identical integer arithmetic to the sub-plane formulation (libjpeg
+    triangle filter: even x blends the nearest chroma sample with its LEFT
+    neighbor as ``(3c + l + 1) >> 2``, odd x with its RIGHT as
+    ``(3c + r + 2) >> 2``, plane-edge clamped), but the chroma is repeated
+    ONCE per component at word level and the main/neighbor samples are
+    extracted with per-lane vector shifts — 3 materializations per
+    component (repeat + two one-column shifts) instead of the sub-plane
+    path's 4 repeats + edge concats per output byte.
+
+    Byte algebra (luma word w, byte b; chroma sample s = 2w + b//2;
+    R[:, w] = packed chroma word w//2, so R repeats in column pairs and
+    packed[w//2 - 1] = R[:, w-1] for even w):
+      main:        byte (w%2)*2 + b//2 of R[w]
+      left  (b=0): even w: byte 3 of R[w-1] (w=0 clamps to sample 0);
+                   odd  w: byte 1 of R[w]
+      left  (b=2): byte (w%2)*2 of R[w]
+      right (b=1): byte (w%2)*2 + 1 of R[w]
+      right (b=3): even w: byte 2 of R[w];
+                   odd  w: byte 0 of R[w+1] (last w clamps to last sample)
+    """
+    ys = [
+        (jax.lax.shift_right_logical(planes[0], U32(8 * b)) & U32(0xFF))
+        .astype(jnp.int32)
+        for b in range(4)
+    ]
+    Wy = ys[0].shape[1]
+    col = jnp.arange(Wy, dtype=jnp.int32)[None, :]
+    sh16 = ((jnp.arange(Wy, dtype=U32) & U32(1)) * U32(16))[None, :]
+    weven = (col & 1) == 0
+
+    def chroma_grid(plane):
+        H, Wc = plane.shape
+        R = jnp.broadcast_to(plane[:, :, None], (H, Wc, 2)).reshape(H, Wy)
+        Rl = jnp.concatenate([R[:, :1], R[:, :-1]], axis=1)
+        Rr = jnp.concatenate([R[:, 1:], R[:, -1:]], axis=1)
+
+        def byte(a, k):
+            return ((a >> U32(8 * k)) & U32(0xFF)).astype(jnp.int32)
+
+        def vbyte(a, sh):
+            return (jax.lax.shift_right_logical(a, sh) & U32(0xFF)).astype(
+                jnp.int32
+            )
+
+        out = []
+        for b in range(4):
+            main = vbyte(R, sh16 + U32(8 * (b // 2)))
+            if b == 0:
+                nb = jnp.where(weven, byte(Rl, 3), byte(R, 1))
+                nb = jnp.where(col == 0, byte(R, 0), nb)
+                out.append((3 * main + nb + 1) >> 2)
+            elif b == 2:
+                nb = vbyte(R, sh16)
+                out.append((3 * main + nb + 1) >> 2)
+            elif b == 1:
+                nb = vbyte(R, sh16 + U32(8))
+                out.append((3 * main + nb + 2) >> 2)
+            else:  # b == 3
+                nb = jnp.where(weven, byte(R, 2), byte(Rr, 0))
+                nb = jnp.where(col == Wy - 1, byte(R, 3), nb)
+                out.append((3 * main + nb + 2) >> 2)
+        return out
+
+    cbs = chroma_grid(planes[1])
+    crs = chroma_grid(planes[2])
+    rgba_subs = []
+    for y, cb, cr in zip(ys, cbs, crs):
+        if rgb:
+            r, g, b = y, cb, cr
+        else:
+            cb = cb - 128
+            cr = cr - 128
+            r = jnp.clip(y + ((45 * cr) >> 5), 0, 255)
+            g = jnp.clip(y - ((11 * cb + 23 * cr) >> 5), 0, 255)
+            b = jnp.clip(y + ((113 * cb) >> 6), 0, 255)
+        rgba_subs.append(r | (g << 8) | (b << 16) | jnp.int32(-16777216))
+    hq, wq = rgba_subs[0].shape
+    img = jnp.stack(rgba_subs, axis=2).reshape(hq, wq * 4)
+    return jax.lax.bitcast_convert_type(img[:height, :width], U32)
+
+
 def finalize_planes(
     planes: Tuple[jax.Array, ...],
     samplings: Tuple[Tuple[int, int], ...],
@@ -828,6 +915,18 @@ def finalize_planes(
 
     max_h = max(s[0] for s in samplings)
     max_v = max(s[1] for s in samplings)
+
+    if (
+        fancy
+        and len(planes) > 1
+        and samplings[1] == samplings[2]
+        and max_h // samplings[1][0] == 2
+        and max_v // samplings[1][1] == 1
+    ):
+        # Fancy 4:2:2 (horizontal-only triangle filter) on the packed grid.
+        return _finalize_planes_fancy422_packed(
+            planes, samplings, width, height, rgb
+        )
 
     if not fancy and len(planes) > 1 and (
         max_h // samplings[1][0] > 1 or max_v // samplings[1][1] > 1
