@@ -268,6 +268,20 @@ def test_segmcus_cache_distinguishes_grid_shapes(test_image):
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 2
 
 
+@pytest.mark.parametrize("sampling", ["422", "420", "444", "440", "411"])
+def test_composite_matches_planes_epilogue(sampling, test_image):
+    """The default in-kernel composite and the forced planes+XLA-epilogue
+    formulation must be bit-identical for nearest upsampling on every
+    sampling (they share phases 1-2; only the output packing differs —
+    incl. the packed-chroma word-repeat + vector-shift extraction)."""
+    img = test_image(24, 48, "noise")
+    data = encoder.encode(img, sampling=sampling, quality=88,
+                          restart_interval_mcus=1)
+    a = Decoder(interpret=True).decode(data)
+    b = Decoder(interpret=True, planes_epilogue=True).decode(data)
+    assert np.array_equal(a, b)
+
+
 def test_fancy_with_planes_epilogue_disabled(test_image):
     """fancy + planes_epilogue=False must still decode tiled-packed words
     correctly (the staged fallback cannot read the tiled slot permutation,
