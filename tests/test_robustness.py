@@ -154,3 +154,45 @@ def test_ff00_marker_outside_scan_rejected(test_image):
     b = data[:2] + b"\xff\x00" + data[2:]
     with pytest.raises(CompegError, match="0x00"):
         analyze(bytes(b), use_native=False)
+
+
+def test_fuzz_header_single_byte_mutations(test_image, rng):
+    """Parser fuzz: any single-byte mutation of the header region must
+    either parse (mutations in qtable values etc.) or raise CompegError —
+    never crash or hang. Decode is not attempted (a mutated table changes
+    the compile key; the kernel's robustness is covered by the scan fuzz)."""
+    data = encoder.encode(
+        test_image(16, 32), sampling="422", quality=80, restart_interval_mcus=1
+    )
+    hdr_len = analyze(data).scan_offset
+    for _ in range(200):
+        pos = int(rng.integers(0, hdr_len))
+        val = int(rng.integers(0, 256))
+        bad = data[:pos] + bytes([val]) + data[pos + 1:]
+        try:
+            analyze(bad)
+        except CompegError:
+            pass
+
+
+def test_fuzz_scan_byte_mutations(test_image, rng):
+    """Decode fuzz: random scan-byte mutations must yield a correct-shape
+    image (garbage pixels are fine — invalid symbols terminate the lane) or
+    a CompegError (interval count / width mismatch). The header is
+    untouched, so the compiled pipeline is reused across iterations."""
+    data = encoder.encode(
+        test_image(16, 32), sampling="422", quality=80, restart_interval_mcus=2
+    )
+    img = analyze(data)
+    off = data.find(img.scan_data)
+    dec = Decoder(interpret=True)
+    for _ in range(25):
+        scan = bytearray(img.scan_data)
+        for _ in range(int(rng.integers(1, 6))):
+            scan[int(rng.integers(0, len(scan)))] = int(rng.integers(0, 256))
+        bad = data[:off] + bytes(scan) + data[off + len(img.scan_data):]
+        try:
+            out = dec.decode(bad)
+            assert out.shape == (16, 32, 3)
+        except CompegError:
+            pass
