@@ -38,8 +38,22 @@ def _force_platform(name: str) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("inputs", nargs="+", help="JPEG files (or one file with --loop)")
+    ap.add_argument(
+        "inputs", nargs="+",
+        help="JPEG/.mjpeg files, or '-' to read an MJPEG byte stream from "
+        "stdin (e.g. `ffmpeg -f v4l2 -i /dev/video0 -c copy -f mjpeg - | "
+        "viewer.py -` — the live-capture integration)",
+    )
     ap.add_argument("--loop", type=int, default=0, help="loop the input N times")
+    ap.add_argument(
+        "--follow", action="store_true",
+        help="tail a growing .mjpeg file, decoding frames as they are "
+        "appended (file-based live feed)",
+    )
+    ap.add_argument(
+        "--idle-timeout", type=float, default=None,
+        help="with --follow: stop after this many seconds without growth",
+    )
     ap.add_argument("--save-dir", default=None)
     ap.add_argument("--stats-every", type=int, default=30)
     ap.add_argument(
@@ -67,14 +81,23 @@ def main() -> None:
 
     def frame_iter():
         for f in args.inputs:
-            if f.lower().endswith((".mjpeg", ".mjpg")):
+            if f == "-":
+                yield from mjpeg.frames_from_stream(sys.stdin.buffer)
+            elif args.follow:
+                yield from mjpeg.follow_frames(
+                    f, idle_timeout_s=args.idle_timeout
+                )
+            elif f.lower().endswith((".mjpeg", ".mjpg")):
                 yield from mjpeg.frames_from_file(f)
             else:
                 yield open(f, "rb").read()
 
-    frames = list(frame_iter())
-    if args.loop:
-        frames = list(itertools.chain.from_iterable([frames] * args.loop))
+    if "-" in args.inputs or args.follow:
+        frames = frame_iter()  # live sources stream lazily
+    else:
+        frames = list(frame_iter())
+        if args.loop:
+            frames = list(itertools.chain.from_iterable([frames] * args.loop))
 
     dec = StreamDecoder()
     t0 = time.perf_counter()

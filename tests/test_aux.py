@@ -95,6 +95,28 @@ def test_multiprocess_dryrun():
     assert b"multiproc dryrun: OK" in r.stdout
 
 
+def test_viewer_example_stdin_pipe(tmp_path, test_image):
+    """examples/viewer.py '-' decodes an MJPEG byte stream from stdin — the
+    live-capture integration (a camera daemon / ffmpeg pipes raw MJPG)."""
+    from compeg_tpu import encoder
+
+    frame = encoder.encode(test_image(16, 16), sampling="422",
+                           restart_interval_mcus=1)
+    outdir = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "examples/viewer.py", "-",
+         "--save-dir", str(outdir), "--stats-every", "2",
+         "--platform", "cpu"],
+        input=frame * 3,
+        capture_output=True,
+        timeout=300,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env=dict(os.environ, COMPEG_PLATFORM="cpu"),
+    )
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert len(sorted(outdir.glob("*.png"))) == 3
+
+
 def test_viewer_example_mjpeg_cli(tmp_path, test_image):
     """examples/viewer.py streams an .mjpeg container end to end (the
     reference viewer's MJPG-source role, examples/viewer.rs:40-89)."""

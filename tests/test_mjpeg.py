@@ -58,3 +58,36 @@ def test_mjpeg_stream_decode(test_image):
     for f, o in zip(frames, outs):
         want = golden.decode_rgb(f)
         assert np.abs(o.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_frames_from_stream_pipe(test_image):
+    """Live-capture integration: frames arrive over a file object (pipe /
+    stdin) in arbitrary chunk sizes, including frames split mid-chunk."""
+    import io
+
+    frames, stream = make_stream(test_image, n=4)
+    got = list(mjpeg.frames_from_stream(io.BytesIO(stream), chunk_size=333))
+    assert got == frames
+
+
+def test_follow_frames_growing_file(test_image, tmp_path):
+    """follow_frames tails a growing file: frames appended AFTER the reader
+    starts are still yielded (the file-based live-feed stand-in)."""
+    import threading
+    import time
+
+    frames, _ = make_stream(test_image, n=3)
+    path = tmp_path / "live.mjpeg"
+    path.write_bytes(frames[0])
+
+    def writer():
+        for f in frames[1:]:
+            time.sleep(0.05)
+            with open(path, "ab") as fh:
+                fh.write(f)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    got = list(mjpeg.follow_frames(str(path), poll_s=0.01, idle_timeout_s=1.0))
+    t.join()
+    assert got == frames
