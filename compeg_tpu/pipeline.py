@@ -355,12 +355,16 @@ class Decoder:
         # the last stream. Holds exactly ONE entry — a frame with different
         # header bytes misses and replaces it — so memory is bounded at one
         # parsed template plus ~600 header bytes; no eviction policy needed.
-        self._hdr_cache: Optional[Tuple[bytes, ImageData]] = None
-        # Host-side stream constants (EntropyPlan, quantizer rows, geometry)
-        # for the header-cached stream, keyed by (words_per_segment, blocks).
-        # Rebuilding these per frame is pure-Python work serialized under
-        # the GIL — it caps the aggregate multi-thread prepare rate.
-        self._host_consts: Optional[tuple] = None
+        # (header bytes, ImageData template, host-consts dict). The dict
+        # holds the stream-constant host objects (EntropyPlan, quantizer
+        # rows, geometry) keyed by (words_per_segment, blocks, tiling) —
+        # rebuilding them per frame is pure-Python work serialized under
+        # the GIL, capping the aggregate multi-thread prepare rate. The
+        # consts live INSIDE the tuple so a concurrent prepare that
+        # replaces the cache (new stream header) atomically replaces the
+        # consts with it — a thread that read the old tuple keeps using
+        # the old header WITH the old consts, never a mix.
+        self._hdr_cache: Optional[Tuple[bytes, ImageData, dict]] = None
         self._warned_parallelism = False
 
     def _bucket_width(self, needed: int) -> int:
@@ -391,7 +395,7 @@ class Decoder:
                 # header IS the terminator). A corrupt frame still fails the
                 # pack's interval-count check either way.
                 img = None
-                cached = self._hdr_cache
+                cached = self._hdr_cache  # read ONCE: header+consts pair
                 if (
                     cached is not None
                     and len(data) > len(cached[0])
@@ -412,11 +416,12 @@ class Decoder:
                 if img is None:
                     img = analyze(data)
                     if img.source is not None:
-                        self._hdr_cache = (
+                        cached = (
                             img.source[: img.scan_offset],
                             img,
+                            {},
                         )
-                        self._host_consts = None  # new stream header
+                        self._hdr_cache = cached
                         hdr_stored = True
         expected = img.total_restart_intervals
         if expected < 10000 and not getattr(self, "_warned_parallelism", False):
@@ -506,16 +511,19 @@ class Decoder:
         # Stream-constant host objects: on a header-cache hit with unchanged
         # packing shape, the plan/quantizers/geometry of the previous frame
         # apply verbatim (they are pure functions of the header + (W, G)).
+        # `cached` is the tuple this frame's header matched (or just
+        # stored), so its consts dict can never belong to a different
+        # stream even if another thread replaced self._hdr_cache meanwhile.
         ckey = (dscan.words_per_segment, dscan.num_blocks, tiling)
-        hc = self._host_consts
-        if hdr_hit and hc is not None and hc[0] == ckey:
-            plan, qz_by_slot, geom = hc[1], hc[2], hc[3]
+        hc = cached[2].get(ckey) if (hdr_hit or hdr_stored) else None
+        if hc is not None:
+            plan, qz_by_slot, geom = hc
         else:
             plan = E.plan_from_image(img, dscan, zrl17=self.zrl_compat)
             qz_by_slot = D.qz_by_slot_array(img)
             geom = FrameGeometry.from_image(img, tiling)
             if hdr_hit or hdr_stored:  # frame belongs to the cached stream
-                self._host_consts = (ckey, plan, qz_by_slot, geom)
+                cached[2][ckey] = (plan, qz_by_slot, geom)
         # The mask depends on the full MCU-grid shape, not just the MCU
         # count: a 8x2 and a 2x8 grid share (ri, total_mcus, blocks, tiling)
         # but activate different tiled slots.

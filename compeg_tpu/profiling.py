@@ -113,17 +113,27 @@ def trace_device_ms(run_frame, frames: int = 5):
 
     import jax
 
+    import shutil
+
     out = run_frame()
     hard_sync(out)
     logdir = tempfile.mkdtemp(prefix="compeg_trace_")
-    jax.profiler.start_trace(logdir)
-    for _ in range(frames):
-        out = run_frame()
-    hard_sync(out)
-    jax.profiler.stop_trace()
-    fs = sorted(glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
-                          recursive=True))
-    d = json.load(gzip.open(fs[-1]))
+    try:
+        jax.profiler.start_trace(logdir)
+        for _ in range(frames):
+            out = run_frame()
+        hard_sync(out)
+        jax.profiler.stop_trace()
+        fs = sorted(glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
+                              recursive=True))
+        if not fs:
+            raise RuntimeError(
+                "jax.profiler produced no trace file (non-TPU backend or "
+                "profiler hiccup)"
+            )
+        d = json.load(gzip.open(fs[-1]))
+    finally:
+        shutil.rmtree(logdir, ignore_errors=True)
     pnames, tnames = {}, {}
     for e in d["traceEvents"]:
         if e.get("ph") == "M" and e.get("name") == "process_name":
@@ -141,6 +151,8 @@ def trace_device_ms(run_frame, frames: int = 5):
         agg[e.get("name", "")] += e.get("dur", 0)
         cnt[e.get("name", "")] += 1
         total += e.get("dur", 0)
+    if total == 0.0:
+        raise RuntimeError("trace contains no XLA-Ops-lane events")
     rows = sorted(
         ((v / frames / 1e3, cnt[k] // frames, k) for k, v in agg.items()),
         reverse=True,

@@ -91,3 +91,26 @@ def test_follow_frames_growing_file(test_image, tmp_path):
     got = list(mjpeg.follow_frames(str(path), poll_s=0.01, idle_timeout_s=1.0))
     t.join()
     assert got == frames
+
+
+def test_frames_from_stream_marker_split_across_chunks(test_image):
+    """Regression: a chunk ending exactly on the 0xFF of the NEXT frame's
+    SOI must not drop that frame (the assembler retains the trailing FF)."""
+    import io
+
+    frames, _ = make_stream(test_image, n=2)
+    stream = frames[0] + frames[1]
+    # Force a chunk boundary between the FF and D8 of frame 2's SOI.
+    cut = len(frames[0]) + 1
+    class TwoChunk(io.RawIOBase):
+        def __init__(self):
+            self.parts = [stream[:cut], stream[cut:]]
+        def read(self, n=-1):
+            return self.parts.pop(0) if self.parts else b""
+    got = list(mjpeg.frames_from_stream(TwoChunk()))
+    assert got == frames
+    # And every possible split point, via the assembler directly.
+    for cut in range(len(stream)):
+        asm = mjpeg.FrameAssembler()
+        got = list(asm.feed(stream[:cut])) + list(asm.feed(stream[cut:]))
+        assert got == frames, cut

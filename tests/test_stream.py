@@ -134,3 +134,20 @@ def test_stream_decoder_yields_in_order(test_image):
     assert len(outs) == 5
     for f, out in zip(frames, outs):
         assert np.array_equal(out, Decoder(interpret=True).decode(f))
+
+
+def test_alternating_streams_no_consts_crosstalk(test_image):
+    """Two interleaved streams with identical geometry but different
+    quantization tables must never reuse each other's cached host
+    constants (the consts live inside the header-cache tuple, so a header
+    replacement atomically replaces them)."""
+    a = encoder.encode(test_image(24, 48, "gradient"), sampling="422",
+                       quality=85, restart_interval_mcus=1)
+    b = encoder.encode(test_image(24, 48, "gradient"), sampling="422",
+                       quality=45, restart_interval_mcus=1)  # different DQT
+    dec = Decoder(interpret=True)
+    ref_a = Decoder(interpret=True).decode(a)
+    ref_b = Decoder(interpret=True).decode(b)
+    for _ in range(3):
+        assert np.array_equal(dec.decode(a), ref_a)
+        assert np.array_equal(dec.decode(b), ref_b)
