@@ -44,7 +44,7 @@ for pack_threads, label in ((None, "pooled pack"), (1, "1-thread pack")):
         print(f"prepare x{T} threads ({label}): {fps:7.1f} frames/s aggregate "
               f"({1e3/fps:.2f} ms/frame effective)", flush=True)
 
-chip_fps = 1135.0  # trace-verified device rate (RESULTS.md)
+chip_fps = 1224.0  # trace-verified device rate (RESULTS.md, r4)
 best = max(results.values())
 print(f"host feed rate {best:.0f} fps vs chip {chip_fps:.0f} fps -> "
       f"{'HOST CAN FEED THE CHIP' if best >= chip_fps else 'HOST-BOUND'}",
