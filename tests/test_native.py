@@ -241,3 +241,36 @@ def test_pack_offset_window_overread_guard():
     )
     assert np.array_equal(words, py.words)
     assert np.array_equal(active, py.active)
+
+
+def test_pack_blocks_banded_serial_matches_pooled(test_image):
+    """The single-pass serial packer (n_threads=1, the streaming config)
+    must produce the banded tiled layout byte-identically to the two-phase
+    pooled path and the Python oracle — including band-internal padding
+    rows and the per-band tile-row split."""
+    data = encoder.encode(
+        test_image(56, 64, "noise"), sampling="422", quality=90,
+        restart_interval_mcus=1,
+    )
+    img = scan_of(data)
+    expected = img.total_restart_intervals
+    tm = S.TileMap.for_geometry(
+        img.height_mcus, img.width_mcus, img.restart_interval, n_bands=2
+    )
+    segs = S.split_intervals(img.scan_data, expected)
+    w = S._words_per_segment(max(len(s) for s in segs))
+    tile = (tm.segs_per_row, tm.n_tc, tm.band_rows)
+    b1, a1 = native.pack_blocks(
+        img.scan_data, expected, w, tm.num_blocks, tile=tile, n_threads=1
+    )
+    b4, a4 = native.pack_blocks(
+        img.scan_data, expected, w, tm.num_blocks, tile=tile, n_threads=4
+    )
+    assert np.array_equal(b1, b4)
+    assert np.array_equal(a1, a4)
+    py = S.to_device_layout(
+        segs, w, slot_of_segment=tm.slot_of_segment(img.height_mcus),
+        num_blocks=tm.num_blocks,
+    )
+    assert np.array_equal(b1, py.words)
+    assert np.array_equal(a1, py.active)
