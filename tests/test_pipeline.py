@@ -295,3 +295,18 @@ def test_fancy_with_planes_epilogue_disabled(test_image):
     assert pf.geom.tiling is not None
     want = Decoder(interpret=True, fancy_upsampling=True).decode(data)
     assert np.array_equal(dec.decode(data), want)
+
+
+def test_decode_rgba_matches_rgb_with_alpha(test_image):
+    """decode_rgba (the reference's rgba8unorm output format,
+    src/lib.rs:48): RGB channels equal decode()'s, alpha is 255, on both
+    the fused (packed u32) and staged paths."""
+    data = encoder.encode(test_image(24, 48, "gradient"), sampling="422",
+                          quality=85, restart_interval_mcus=1)
+    for fused in (True, False):
+        dec = Decoder(interpret=True, fused=fused)
+        rgba = dec.decode_rgba(data)
+        rgb = Decoder(interpret=True, fused=fused).decode(data)
+        assert rgba.shape == rgb.shape[:2] + (4,)
+        assert np.array_equal(rgba[..., :3], rgb)
+        assert (rgba[..., 3] == 255).all()
