@@ -38,6 +38,19 @@ __all__ = [
 ]
 
 
+def __getattr__(name):
+    # Lazy device-side exports so host-only users never pull in jax.
+    if name == "Decoder":
+        from .pipeline import Decoder
+
+        return Decoder
+    if name in ("BatchDecoder", "StreamDecoder"):
+        from . import batch
+
+        return getattr(batch, name)
+    raise AttributeError(f"module 'compeg_tpu' has no attribute {name!r}")
+
+
 def decode_rgb(data: bytes, **kw):
     """Decode a JPEG to an ``[H, W, 3]`` u8 RGB array on the default device.
 
