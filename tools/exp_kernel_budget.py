@@ -47,7 +47,7 @@ def run(ablate="", plan=None, w=None, s=None):
     return F.fused_decode_blocks(
         w if w is not None else words, s if s is not None else segm, idct_l,
         plan or pf.plan, pf.geom.samplings, 64, False, False,
-        True, ablate)
+        tiled=True, _ablate=ablate)
 
 full = timed(lambda: run(), "full")
 timed(lambda: run("densestore"), "densestore")

@@ -55,7 +55,7 @@ def run(tag=""):
     # tag busts fused_decode_blocks' jit cache via _ablate (unused string)
     return F.fused_decode_blocks(words, segm, idct_l, pf.plan,
                                  pf.geom.samplings, 64, False, False,
-                                 True, tag)
+                                 tiled=True, _ablate=tag)
 
 base = None
 for u in (4, 2, 6, 8):
