@@ -310,3 +310,18 @@ def test_decode_rgba_matches_rgb_with_alpha(test_image):
         assert rgba.shape == rgb.shape[:2] + (4,)
         assert np.array_equal(rgba[..., :3], rgb)
         assert (rgba[..., 3] == 255).all()
+
+
+@pytest.mark.parametrize("sampling", ["422", "420"])
+def test_fancy_exact_idct_fused_matches_staged(sampling, test_image):
+    """fancy upsampling + exact integer IDCT: the fused planes path and the
+    staged path share both the integer transform and the triangle filter,
+    so their outputs must be byte-identical."""
+    img = test_image(24, 48, "noise")
+    data = encoder.encode(img, sampling=sampling, quality=90,
+                          restart_interval_mcus=1)
+    a = Decoder(interpret=True, fancy_upsampling=True, exact_idct=True
+                ).decode(data)
+    b = Decoder(interpret=True, fancy_upsampling=True, exact_idct=True,
+                fused=False).decode(data)
+    assert np.array_equal(a, b)
