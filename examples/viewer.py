@@ -40,9 +40,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "inputs", nargs="+",
-        help="JPEG/.mjpeg files, or '-' to read an MJPEG byte stream from "
-        "stdin (e.g. `ffmpeg -f v4l2 -i /dev/video0 -c copy -f mjpeg - | "
-        "viewer.py -` — the live-capture integration)",
+        help="JPEG/.mjpeg files, a /dev/video* camera (captured live as "
+        "MJPG via compeg_tpu.v4l2, the reference viewer's webcam mode), or "
+        "'-' to read an MJPEG byte stream from stdin (e.g. `ffmpeg -f v4l2 "
+        "-i /dev/video0 -c copy -f mjpeg - | viewer.py -`)",
+    )
+    ap.add_argument(
+        "--max-frames", type=int, default=None,
+        help="with a /dev/video* input: stop after this many frames",
+    )
+    ap.add_argument(
+        "--camera-size", default=None, metavar="WxH",
+        help="with a /dev/video* input: request this capture size",
     )
     ap.add_argument("--loop", type=int, default=0, help="loop the input N times")
     ap.add_argument(
@@ -81,7 +90,17 @@ def main() -> None:
 
     def frame_iter():
         for f in args.inputs:
-            if f == "-":
+            if f.startswith("/dev/video"):
+                from compeg_tpu import v4l2
+
+                size = None
+                if args.camera_size:
+                    w, h = args.camera_size.lower().split("x")
+                    size = (int(w), int(h))
+                yield from v4l2.capture_frames(
+                    f, size=size, max_frames=args.max_frames
+                )
+            elif f == "-":
                 yield from mjpeg.frames_from_stream(sys.stdin.buffer)
             elif args.follow:
                 yield from mjpeg.follow_frames(
@@ -92,7 +111,8 @@ def main() -> None:
             else:
                 yield open(f, "rb").read()
 
-    if "-" in args.inputs or args.follow:
+    live = any(f == "-" or f.startswith("/dev/video") for f in args.inputs)
+    if live or args.follow:
         frames = frame_iter()  # live sources stream lazily
     else:
         frames = list(frame_iter())
