@@ -743,6 +743,17 @@ class DecodeOp:
         self.result.block_until_ready()
         return self
 
+    # The reference's DecodeOp hands its output texture straight to the
+    # caller's render pipeline with no host round trip (src/lib.rs:538-574,
+    # examples/viewer.rs:244-246). The TPU-native analogue is the DLPack
+    # protocol on the device array: ``torch.from_dlpack(op)`` (or any DLPack
+    # consumer) views the decoded packed-RGBA words zero-copy.
+    def __dlpack__(self, **kwargs):
+        return self.result.__dlpack__(**kwargs)
+
+    def __dlpack_device__(self):
+        return self.result.__dlpack_device__()
+
 
 def decode_rgb(data: bytes, retained_coefficients: int = 64) -> np.ndarray:
     """One-shot decode on the default backend."""

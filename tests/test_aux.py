@@ -144,3 +144,24 @@ def test_viewer_example_mjpeg_cli(tmp_path, test_image):
     assert r.returncode == 0, (r.stdout, r.stderr)
     pngs = sorted(outdir.glob("*.png"))
     assert len(pngs) == 3
+
+
+def test_decodeop_dlpack_zero_copy(test_image):
+    """DecodeOp exports its device result via DLPack — the analogue of the
+    reference handing DecodeOp::texture() straight to the caller's render
+    pipeline (src/lib.rs:538-574): downstream frameworks consume the packed
+    RGBA words without a host round trip."""
+    torch = pytest.importorskip("torch")
+    from compeg_tpu.pipeline import Decoder
+
+    from compeg_tpu import encoder
+
+    data = encoder.encode(
+        test_image(32, 64, "gradient"), sampling="422", quality=90,
+        restart_interval_mcus=1,
+    )
+    dec = Decoder(interpret=True)
+    op = dec.start_decode(data).block_until_ready()
+    t = torch.from_dlpack(op)
+    assert tuple(t.shape) == tuple(op.result.shape)
+    assert (t.numpy() == np.asarray(op.result)).all()
