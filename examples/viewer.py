@@ -36,6 +36,37 @@ def _force_platform(name: str) -> None:
     jax.config.update("jax_platforms", name)
 
 
+def render_ansi(rgb, cols: int) -> str:
+    """Render an [H, W, 3] u8 frame as ANSI truecolor half-blocks.
+
+    Each character cell shows two vertically stacked pixels (fg = top via
+    '▀', bg = bottom), so a cols-wide preview is cols x (cols*H/W) pixels.
+    Box-filter downsample with numpy; one string per frame, drawn with a
+    cursor-home so successive frames overdraw in place (flicker-free)."""
+    h, w = rgb.shape[:2]
+    cols = max(2, min(cols, w))
+    rows = max(2, round(cols * h / w / 2) * 2)  # even: 2 pixels per cell
+    ys = (np.arange(rows + 1) * h // rows).clip(1, h)
+    xs = (np.arange(cols + 1) * w // cols).clip(1, w)
+    c = np.zeros((h + 1, w + 1, 3), np.float64)
+    c[1:, 1:] = rgb.astype(np.float64).cumsum(0).cumsum(1)
+    area = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    small = (
+        c[ys[1:]][:, xs[1:]] - c[ys[:-1]][:, xs[1:]]
+        - c[ys[1:]][:, xs[:-1]] + c[ys[:-1]][:, xs[:-1]]
+    ) / area[..., None]
+    px = small.round().clip(0, 255).astype(np.uint8)
+    top, bot = px[0::2], px[1::2]
+    lines = ["\x1b[H"]
+    for tr, br in zip(top, bot):
+        cells = [
+            f"\x1b[38;2;{t[0]};{t[1]};{t[2]}m\x1b[48;2;{b[0]};{b[1]};{b[2]}m▀"
+            for t, b in zip(tr, br)
+        ]
+        lines.append("".join(cells) + "\x1b[0m")
+    return "\n".join(lines)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -64,6 +95,16 @@ def main() -> None:
         help="with --follow: stop after this many seconds without growth",
     )
     ap.add_argument("--save-dir", default=None)
+    ap.add_argument(
+        "--preview", action="store_true",
+        help="render each decoded frame to the terminal as ANSI truecolor "
+        "half-blocks (the render-pass role of the reference viewer, "
+        "display-server-free)",
+    )
+    ap.add_argument(
+        "--preview-width", type=int, default=96,
+        help="terminal columns for --preview",
+    )
     ap.add_argument("--stats-every", type=int, default=30)
     ap.add_argument(
         "--platform",
@@ -123,7 +164,13 @@ def main() -> None:
     t0 = time.perf_counter()
     n = 0
     last = t0
+    if args.preview:
+        sys.stdout.write("\x1b[2J")  # clear once; frames overdraw in place
     for out in dec.decode_iter(frames):
+        if args.preview:
+            sys.stdout.write(render_ansi(dec.to_rgb(out), args.preview_width))
+            sys.stdout.write("\n")
+            sys.stdout.flush()
         if args.save_dir:
             from PIL import Image
 

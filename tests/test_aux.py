@@ -165,3 +165,30 @@ def test_decodeop_dlpack_zero_copy(test_image):
     t = torch.from_dlpack(op)
     assert tuple(t.shape) == tuple(op.result.shape)
     assert (t.numpy() == np.asarray(op.result)).all()
+
+
+def test_viewer_render_ansi_preview():
+    """The terminal preview sink: box-filtered downsample + truecolor
+    half-block encoding (two pixels per character cell)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "viewer", os.path.join(os.path.dirname(__file__), "..", "examples",
+                               "viewer.py"))
+    viewer = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(viewer)
+
+    rgb = np.zeros((40, 80, 3), np.uint8)
+    rgb[:20] = (255, 0, 0)   # top half red
+    rgb[20:] = (0, 0, 255)   # bottom half blue
+    s = viewer.render_ansi(rgb, cols=20)
+    lines = s.split("\n")
+    assert lines[0] == "\x1b[H"
+    body = lines[1:]
+    assert len(body) == 5 and all(r.count("▀") == 20 for r in body)
+    # Top rows render red-on-red, bottom rows blue-on-blue.
+    assert "\x1b[38;2;255;0;0m" in body[0] and "\x1b[48;2;255;0;0m" in body[0]
+    assert "\x1b[38;2;0;0;255m" in body[-1] and "\x1b[48;2;0;0;255m" in body[-1]
+    # A flat frame averages to itself.
+    flat = np.full((32, 64, 3), 77, np.uint8)
+    assert "\x1b[38;2;77;77;77m" in viewer.render_ansi(flat, cols=16)
