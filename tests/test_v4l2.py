@@ -63,3 +63,87 @@ def test_live_capture_decodes():
     dec = StreamDecoder()
     outs = list(dec.decode_iter(frames))
     assert len(outs) == 3
+
+
+class _FakeDriver:
+    """Userspace stand-in for a V4L2 MJPG camera: answers the exact ioctl
+    sequence Camera issues, so the negotiation + mmap-ring + DQBUF logic is
+    exercised without a device (the live test above stays device-gated)."""
+
+    FRAMES = [b"\xFF\xD8" + b"frame-a" + b"\xFF\xD9",
+              b"junk-not-soi",  # starvation frame: must be skipped
+              b"\xFF\xD8" + b"frame-b" + b"\xFF\xD9"]
+
+    def __init__(self):
+        self.buf_len = 64
+        self.queued = []
+        self.streaming = False
+        self.served = 0
+        self.maps = {i: bytearray(self.buf_len) for i in range(4)}
+
+    def ioctl(self, fd, req, arg=0, mutate=True):
+        if req == v4l2.VIDIOC_QUERYCAP:
+            arg.capabilities = v4l2.CAP_VIDEO_CAPTURE | v4l2.CAP_STREAMING
+            arg.device_caps = arg.capabilities
+            card = b"fake-cam"
+            arg.card[: len(card)] = card
+        elif req == v4l2.VIDIOC_S_FMT:
+            assert arg.fmt.pix.pixelformat == v4l2.PIX_FMT_MJPEG
+            arg.fmt.pix.width, arg.fmt.pix.height = 320, 240
+        elif req == v4l2.VIDIOC_REQBUFS:
+            assert arg.memory == v4l2.MEMORY_MMAP
+            arg.count = min(arg.count, 4)
+        elif req == v4l2.VIDIOC_QUERYBUF:
+            arg.length = self.buf_len
+            arg.m.offset = arg.index * 4096
+        elif req == v4l2.VIDIOC_QBUF:
+            self.queued.append(arg.index)
+        elif req == v4l2.VIDIOC_DQBUF:
+            assert self.streaming and self.queued
+            i = self.queued.pop(0)
+            data = self.FRAMES[self.served % len(self.FRAMES)]
+            self.served += 1
+            self.maps[i][: len(data)] = data
+            arg.index, arg.bytesused = i, len(data)
+        elif req == v4l2.VIDIOC_STREAMON:
+            self.streaming = True
+        elif req == v4l2.VIDIOC_STREAMOFF:
+            self.streaming = False
+        else:
+            raise AssertionError(f"unexpected ioctl {req:#x}")
+        return 0
+
+
+def test_camera_logic_with_fake_driver(monkeypatch):
+    drv = _FakeDriver()
+    monkeypatch.setattr(v4l2.os, "open", lambda *a: 42)
+    monkeypatch.setattr(v4l2.os, "close", lambda fd: None)
+    monkeypatch.setattr(v4l2.fcntl, "ioctl", drv.ioctl)
+
+    class _FakeMmapModule:
+        MAP_SHARED = PROT_READ = 0
+
+        @staticmethod
+        def mmap(fd, length, flags, prot, offset=0):
+            assert length == drv.buf_len and offset % 4096 == 0
+
+            class _M:
+                def __getitem__(self, s):
+                    return bytes(drv.maps[offset // 4096][s])
+
+                def close(self):
+                    pass
+
+            return _M()
+
+    monkeypatch.setattr(v4l2, "mmap", _FakeMmapModule)
+
+    with v4l2.Camera("/dev/video0", size=(640, 480)) as cam:
+        assert cam.size == (320, 240)  # driver-negotiated, not requested
+        assert cam.card == "fake-cam"
+        assert len(cam.maps) == 4 and len(drv.queued) == 4
+        got = list(cam.frames(max_frames=2))
+    # Two SOI-led frames delivered; the non-JPEG starvation frame skipped.
+    assert got == [_FakeDriver.FRAMES[0], _FakeDriver.FRAMES[2]]
+    assert drv.served == 3
+    assert not drv.streaming  # close() issued STREAMOFF
