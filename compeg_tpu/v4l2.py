@@ -170,6 +170,7 @@ VIDIOC_STREAMOFF = _iow(19, ctypes.c_int32)
 
 BUF_TYPE_VIDEO_CAPTURE = 1
 MEMORY_MMAP = 1
+BUF_FLAG_ERROR = 0x00000040  # V4L2_BUF_FLAG_ERROR (videodev2.h)
 FIELD_ANY = 0
 CAP_VIDEO_CAPTURE = 0x00000001
 CAP_STREAMING = 0x04000000
@@ -258,20 +259,39 @@ class Camera:
             self.close()
             raise
 
-    def frames(self, max_frames: Optional[int] = None) -> Iterator[bytes]:
-        """Yield captured JPEG frames (copies — the mmap is requeued)."""
+    def frames(
+        self, max_frames: Optional[int] = None, max_consecutive_bad: int = 64
+    ) -> Iterator[bytes]:
+        """Yield captured JPEG frames (copies — the mmap is requeued).
+
+        Frames flagged ``V4L2_BUF_FLAG_ERROR`` by the driver or not starting
+        with an SOI marker are skipped, but a run of ``max_consecutive_bad``
+        such frames raises instead of looping forever on a camera that only
+        delivers error/starvation frames."""
         n = 0
+        bad = 0
         while max_frames is None or n < max_frames:
             buf = Buffer()
             buf.type, buf.memory = BUF_TYPE_VIDEO_CAPTURE, MEMORY_MMAP
             fcntl.ioctl(self.fd, VIDIOC_DQBUF, buf)  # blocks for next frame
             data = bytes(self.maps[buf.index][: buf.bytesused])
+            flags = buf.flags
             fcntl.ioctl(self.fd, VIDIOC_QBUF, buf)
             # Some UVC cameras pad after EOI or deliver header-only error
-            # frames on starvation; skip anything that is not SOI-led.
-            if data[:2] == b"\xFF\xD8":
+            # frames on starvation; skip driver-flagged errors and anything
+            # that is not SOI-led — but bound the skip run so max_frames
+            # cannot hang indefinitely on a broken capture.
+            if not (flags & BUF_FLAG_ERROR) and data[:2] == b"\xFF\xD8":
                 yield data
                 n += 1
+                bad = 0
+            else:
+                bad += 1
+                if bad >= max_consecutive_bad:
+                    raise OSError(
+                        f"camera delivered {bad} consecutive error/non-JPEG "
+                        "frames; giving up"
+                    )
 
     def close(self) -> None:
         if getattr(self, "streaming", False):

@@ -44,10 +44,19 @@ def render_ansi(rgb, cols: int) -> str:
     Box-filter downsample with numpy; one string per frame, drawn with a
     cursor-home so successive frames overdraw in place (flicker-free)."""
     h, w = rgb.shape[:2]
+    # Degenerate 1-pixel dimensions: duplicate so every box has area >= 1.
+    if h < 2:
+        rgb = np.repeat(rgb, 2, axis=0)
+        h = rgb.shape[0]
+    if w < 2:
+        rgb = np.repeat(rgb, 2, axis=1)
+        w = rgb.shape[1]
     cols = max(2, min(cols, w))
-    rows = max(2, round(cols * h / w / 2) * 2)  # even: 2 pixels per cell
-    ys = (np.arange(rows + 1) * h // rows).clip(1, h)
-    xs = (np.arange(cols + 1) * w // cols).clip(1, w)
+    # Even row count (2 pixels per cell), capped at h so box edges are
+    # strictly increasing (no zero-area boxes, no dropped row/col 0).
+    rows = max(2, min(h // 2 * 2, round(cols * h / w / 2) * 2))
+    ys = np.arange(rows + 1) * h // rows
+    xs = np.arange(cols + 1) * w // cols
     c = np.zeros((h + 1, w + 1, 3), np.float64)
     c[1:, 1:] = rgb.astype(np.float64).cumsum(0).cumsum(1)
     area = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]

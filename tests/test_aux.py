@@ -192,3 +192,33 @@ def test_viewer_render_ansi_preview():
     # A flat frame averages to itself.
     flat = np.full((32, 64, 3), 77, np.uint8)
     assert "\x1b[38;2;77;77;77m" in viewer.render_ansi(flat, cols=16)
+
+
+def test_viewer_render_ansi_small_frames():
+    """Frames at or below the preview width must keep pixel row/col 0 and
+    never produce zero-area boxes (ADVICE r4: the old clip(1, ...) dropped
+    the first row/column and NaN'd the first column when cols == w)."""
+    import importlib.util
+    import warnings
+
+    spec = importlib.util.spec_from_file_location(
+        "viewer", os.path.join(os.path.dirname(__file__), "..", "examples",
+                               "viewer.py"))
+    viewer = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(viewer)
+
+    # cols == w: every box is exactly one pixel; output must equal input.
+    rgb = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    rgb[0, 0] = (200, 100, 50)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any divide-by-zero fails the test
+        s = viewer.render_ansi(rgb, cols=96)
+    # Pixel (0,0) is the fg of the first cell of the first body line.
+    assert s.split("\n")[1].startswith("\x1b[38;2;200;100;50m")
+    # Degenerate 1-pixel-tall and 1-pixel-wide frames render without error.
+    for shape in ((1, 16, 3), (16, 1, 3), (1, 1, 3)):
+        tiny = np.full(shape, 9, np.uint8)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            out = viewer.render_ansi(tiny, cols=96)
+        assert "\x1b[38;2;9;9;9m" in out

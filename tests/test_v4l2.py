@@ -147,3 +147,56 @@ def test_camera_logic_with_fake_driver(monkeypatch):
     assert got == [_FakeDriver.FRAMES[0], _FakeDriver.FRAMES[2]]
     assert drv.served == 3
     assert not drv.streaming  # close() issued STREAMOFF
+
+
+def _fake_camera(monkeypatch, drv):
+    monkeypatch.setattr(v4l2.os, "open", lambda *a: 42)
+    monkeypatch.setattr(v4l2.os, "close", lambda fd: None)
+    monkeypatch.setattr(v4l2.fcntl, "ioctl", drv.ioctl)
+
+    class _FakeMmapModule:
+        MAP_SHARED = PROT_READ = 0
+
+        @staticmethod
+        def mmap(fd, length, flags, prot, offset=0):
+            class _M:
+                def __getitem__(self, s):
+                    return bytes(drv.maps[offset // 4096][s])
+
+                def close(self):
+                    pass
+
+            return _M()
+
+    monkeypatch.setattr(v4l2, "mmap", _FakeMmapModule)
+    return v4l2.Camera("/dev/video0")
+
+
+def test_camera_skips_error_flagged_frames(monkeypatch):
+    """Frames the driver marks V4L2_BUF_FLAG_ERROR are dropped even when
+    their payload happens to start with SOI (ADVICE r4)."""
+
+    class _ErrDriver(_FakeDriver):
+        def ioctl(self, fd, req, arg=0, mutate=True):
+            rc = super().ioctl(fd, req, arg, mutate)
+            if req == v4l2.VIDIOC_DQBUF and self.served % 2 == 1:
+                arg.flags = v4l2.BUF_FLAG_ERROR  # every odd frame is bad
+            return rc
+
+    drv = _ErrDriver()
+    drv.FRAMES = [b"\xFF\xD8ok\xFF\xD9"]  # all SOI-led; flags decide
+    with _fake_camera(monkeypatch, drv) as cam:
+        got = list(cam.frames(max_frames=3))
+    assert got == [b"\xFF\xD8ok\xFF\xD9"] * 3
+    assert drv.served == 6  # every other frame was error-flagged
+
+
+def test_camera_bad_frame_run_raises_instead_of_hanging(monkeypatch):
+    """A camera that only delivers error/garbage frames must raise after a
+    bounded run, not spin forever inside frames(max_frames=N) (ADVICE r4)."""
+    drv = _FakeDriver()
+    drv.FRAMES = [b"garbage-no-soi"]
+    with _fake_camera(monkeypatch, drv) as cam:
+        with pytest.raises(OSError, match="consecutive"):
+            list(cam.frames(max_frames=1, max_consecutive_bad=5))
+    assert drv.served == 5
