@@ -174,6 +174,100 @@ def idct_pixels_raw(
     return np.clip(pix, 0.0, 255.0).astype(np.uint8).reshape(n, 64)
 
 
+_AAN_SCALE = np.array(
+    [1.0, 1.387039845, 1.306562965, 1.175875602,
+     1.0, 0.785694958, 0.541196100, 0.275899379],
+    dtype=np.float32,
+)
+
+
+def _aan_butterfly(i, first_stage):
+    """One 8-point AAN IDCT pass in element-by-element float32 (the exact
+    operation order of the reference's jidctflt port,
+    src/dct.wgsl:87-135 column pass / :143-172 row pass).
+
+    ``i`` is a list of 8 f32 arrays. ``first_stage=True`` applies the
+    column pass's ``* 0.125`` input scaling; ``False`` applies the row
+    pass's ``+ 128.5`` level shift on the DC term. Returns 8 outputs in
+    natural order (no clamp — the caller clamps for the row pass)."""
+    F = np.float32
+    if first_stage:
+        i = [v * F(0.125) for v in i]
+        t0 = i[0]
+    else:
+        t0 = i[0] + F(128.5)
+    # even part
+    tmp10 = t0 + i[4]
+    tmp11 = t0 - i[4]
+    tmp13 = i[2] + i[6]
+    tmp12 = (i[2] - i[6]) * F(1.414213562) - tmp13
+    e0 = tmp10 + tmp13
+    e3 = tmp10 - tmp13
+    e1 = tmp11 + tmp12
+    e2 = tmp11 - tmp12
+    # odd part
+    z13 = i[5] + i[3]
+    z10 = i[5] - i[3]
+    z11 = i[1] + i[7]
+    z12 = i[1] - i[7]
+    o7 = z11 + z13
+    t11 = (z11 - z13) * F(1.414213562)
+    z5 = (z10 + z12) * F(1.847759065)
+    t10 = z5 - z12 * F(1.082392200)
+    t12 = z5 - z10 * F(2.613125930)
+    o6 = t12 - o7
+    o5 = t11 - o6
+    o4 = t10 - o5
+    return [e0 + o7, e1 + o6, e2 + o5, e3 + o4,
+            e3 - o4, e2 - o5, e1 - o6, e0 - o7]
+
+
+def idct_pixels_aan(
+    coeffs_raw: np.ndarray, img: ImageData, retained_coefficients: int = 64
+) -> np.ndarray:
+    """``[N, 64]`` raw zigzag coefficients -> u8 pixels via the reference's
+    float AAN IDCT chain, emulated operation-for-operation in float32: the
+    jidctflt column/row butterflies with the reference's literal constants
+    and AAN scale premultiply (src/dct.wgsl:68-182), f32 rounding at every
+    step, +128.5 shift, clamp to [0, 255], and the WGSL ``u32()``
+    truncation of the pixel pack (src/dct.wgsl:189-197).
+
+    This is the executable model of the reference's *own* arithmetic —
+    what "bit-exact vs Compeg" means for the float pipeline — and turns
+    the engine's "within +-1 of the matrix-IDCT golden" claim into a
+    measured distribution against Compeg's butterflies (PARITY.md)."""
+    dus = img.dus_per_mcu
+    n = coeffs_raw.shape[0]
+    # Dequantize into the i32 coefficients-buffer values the reference's
+    # entropy kernel stores (coeff * qtable, zigzag position, truncated).
+    q = np.stack([np.asarray(img.qtable_for_comp(c)) for c in img.du_to_comp])
+    if retained_coefficients < 64:
+        q = q.copy()
+        q[:, retained_coefficients:] = 0
+    deq = (
+        coeffs_raw.reshape(n // dus, dus, 64).astype(np.int64) * q[None]
+    ).reshape(n, 64)
+    from .tables import ZIGZAG
+
+    zz = np.asarray(ZIGZAG)  # natural position -> zigzag index
+    nat = deq[:, zz].reshape(n, 8, 8)  # [N, row, col] natural order
+    # f32(coefficient) * (SCALE[row] * SCALE[col]), products taken in f32
+    # like the kernel computes them (src/dct.wgsl:78-82).
+    mul = _AAN_SCALE[:, None] * _AAN_SCALE[None, :]
+    x = nat.astype(np.float32) * mul[None]
+    # Column pass: 8 inputs along the row axis for every column.
+    cols_out = _aan_butterfly([x[:, k, :] for k in range(8)], first_stage=True)
+    ws = np.stack(cols_out, axis=1)  # [N, row, col]
+    # Row pass: 8 inputs along the column axis for every row, then clamp.
+    rows_out = _aan_butterfly(
+        [ws[:, :, k] for k in range(8)], first_stage=False
+    )
+    pix = np.stack(rows_out, axis=2)  # [N, row, col]
+    pix = np.clip(pix, np.float32(0.0), np.float32(255.0))
+    # WGSL u32(f32) truncates toward zero.
+    return pix.astype(np.uint8).reshape(n, 64)
+
+
 def idct_pixels_int(
     coeffs_raw: np.ndarray, img: ImageData, retained_coefficients: int = 64
 ) -> np.ndarray:
@@ -257,6 +351,9 @@ def decode_rgb(
     coeffs = decode_coefficients(img, dequant=False, zrl17=zrl17)
     if idct == "int":
         pixels = idct_pixels_int(coeffs, img, retained_coefficients)
+    elif idct == "aan":
+        # The reference's own float AAN butterflies (jidctflt port).
+        pixels = idct_pixels_aan(coeffs, img, retained_coefficients)
     else:
         pixels = idct_pixels_raw(coeffs, img, retained_coefficients)
     planes = assemble_planes(img, pixels)

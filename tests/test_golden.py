@@ -128,3 +128,48 @@ def test_zrl_roundtrip():
     diff = np.abs(out.astype(int) - theirs.astype(int))
     # Chroma upsampling differs (nearest vs fancy); luma must be close.
     assert diff.mean() < 4
+
+
+def test_aan_idct_matches_matrix_and_pillow(test_image):
+    """idct="aan" — the op-for-op f32 emulation of the reference's jidctflt
+    butterflies (src/dct.wgsl:68-201). It computes the same linear map as
+    the matrix-float IDCT, so full decodes must agree within 1 gray level,
+    and on 4:4:4 (no upsampling) it must sit inside libjpeg's tolerance."""
+    PIL = pytest.importorskip("PIL.Image")
+    img = test_image(32, 64, "noise")
+    data = encoder.encode(img, sampling="444", quality=85, restart_interval_mcus=1)
+    r_aan = golden.decode_rgb(data, idct="aan")
+    r_mat = golden.decode_rgb(data)
+    assert np.abs(r_aan.astype(int) - r_mat.astype(int)).max() <= 1
+    theirs = np.asarray(PIL.open(io.BytesIO(data)).convert("RGB"))
+    assert np.abs(r_aan.astype(int) - theirs.astype(int)).max() <= 3
+
+
+def test_aan_impulse_response_matches_idct_definition():
+    """Each single-coefficient impulse through the AAN butterflies must
+    match the direct T.81 IDCT definition (float64 cosine sum) to f32
+    accuracy — validates every path through the butterfly network."""
+    from compeg_tpu.golden import _AAN_SCALE, _aan_butterfly
+    from compeg_tpu.tables import ZIGZAG
+
+    zz = np.asarray(ZIGZAG)
+    # 64 impulses, one per natural position, amplitude 400 (past u8 range
+    # so no clamping hides errors -- compare pre-clamp float outputs).
+    nat = np.zeros((64, 64), np.float32)
+    nat[np.arange(64), np.arange(64)] = 400.0
+    x = nat.reshape(64, 8, 8) * (_AAN_SCALE[:, None] * _AAN_SCALE[None, :])
+    cols = _aan_butterfly([x[:, k, :] for k in range(8)], first_stage=True)
+    ws = np.stack(cols, axis=1)
+    rows = _aan_butterfly([ws[:, :, k] for k in range(8)], first_stage=False)
+    got = np.stack(rows, axis=2).reshape(64, 64) - 128.5
+
+    # Direct IDCT: s(y,x) = 1/4 sum_uv Cu Cv S(u,v) cos((2x+1)u pi/16) ...
+    u = np.arange(8)
+    cos = np.cos((2 * u[:, None] + 1) * u[None, :] * np.pi / 16)  # [x, u]
+    cu = np.where(u == 0, 1 / np.sqrt(2), 1.0)
+    basis = np.einsum("u,v,yu,xv->uvyx", cu, cv := cu, cos, cos) / 4
+    want = np.zeros((64, 64))
+    for p in range(64):
+        r, c = divmod(p, 8)
+        want[p] = (400.0 * basis[r, c]).reshape(64)
+    assert np.abs(got - want).max() < 1e-2, np.abs(got - want).max()
