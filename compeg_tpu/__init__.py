@@ -48,6 +48,10 @@ def __getattr__(name):
         from . import batch
 
         return getattr(batch, name)
+    if name == "enable_compilation_cache":
+        from .pipeline import enable_compilation_cache
+
+        return enable_compilation_cache
     raise AttributeError(f"module 'compeg_tpu' has no attribute {name!r}")
 
 

@@ -275,6 +275,33 @@ def prepare_frame(
     )
 
 
+def enable_compilation_cache(path: Optional[str] = None) -> str:
+    """Enable JAX's persistent compilation cache for this process.
+
+    The reference's flagship scenario is a long-lived webcam session
+    (examples/viewer.rs:40-89) where pipelines compile once per process; on
+    this engine a fresh process otherwise re-pays the 4K fused-kernel
+    compile (~20-60 s through the tunnel). With the cache enabled, a warm
+    process start deserializes the executable from disk instead.
+
+    ``path`` defaults to ``$COMPEG_TPU_CACHE_DIR`` or
+    ``~/.cache/compeg_tpu/jax``. Returns the cache directory. Call before
+    the first decode (it only configures jax; safe to call repeatedly)."""
+    import os
+
+    path = path or os.environ.get("COMPEG_TPU_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "compeg_tpu", "jax"
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # Cache every executable: the per-geometry decode programs are exactly
+    # the artifacts a steady stream wants back after a restart, regardless
+    # of size or compile time.
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    return path
+
+
 class Decoder:
     """Per-stream decoder. Reuse one instance across frames of a stream so
     compiled pipelines are reused (the role of the reference's per-``Decoder``
@@ -291,7 +318,15 @@ class Decoder:
         planes_epilogue: Optional[bool] = None,
         zrl_compat: bool = False,
         pack_threads: Optional[int] = None,
+        compilation_cache=False,
     ):
+        # compilation_cache: True (default dir) or a path enables JAX's
+        # persistent executable cache so a restarted process skips the
+        # per-geometry compile (see enable_compilation_cache).
+        if compilation_cache:
+            enable_compilation_cache(
+                compilation_cache if isinstance(compilation_cache, str) else None
+            )
         # pack_threads: worker threads per native pack call. None = the
         # machine-sized pool (fastest single-frame latency). Streaming
         # callers that run SEVERAL prepares concurrently should pass 1:

@@ -222,3 +222,42 @@ def test_viewer_render_ansi_small_frames():
             warnings.simplefilter("error")
             out = viewer.render_ansi(tiny, cols=96)
         assert "\x1b[38;2;9;9;9m" in out
+
+
+def test_compilation_cache_persists_executables(tmp_path, test_image):
+    """enable_compilation_cache: a decode populates the persistent cache
+    dir, and a FRESH process decodes the same geometry with a cache hit
+    (the webcam-session restart scenario; reference viewer.rs:40-89)."""
+    from compeg_tpu import encoder
+
+    src = tmp_path / "f.jpg"
+    src.write_bytes(
+        encoder.encode(test_image(16, 32, "gradient"), sampling="422",
+                       quality=90, restart_interval_mcus=1)
+    )
+    cache = tmp_path / "cache"
+    prog = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys, numpy as np\n"
+        "from compeg_tpu.pipeline import Decoder, enable_compilation_cache\n"
+        f"enable_compilation_cache({str(cache)!r})\n"
+        f"out = Decoder(interpret=True).decode(open({str(src)!r}, 'rb').read())\n"
+        "assert out.shape == (16, 32, 3)\n"
+        "print('DECODED')\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    root = os.path.join(os.path.dirname(__file__), "..")
+    r1 = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                        timeout=600, cwd=root, env=env, text=True)
+    assert r1.returncode == 0 and "DECODED" in r1.stdout, (r1.stdout, r1.stderr)
+    entries = list(cache.iterdir())
+    assert entries, "first run must write cache entries"
+    # Second, fresh process: same geometry must hit the persistent cache
+    # (observable via jax's cache logging) and still decode correctly.
+    prog2 = prog.replace("print('DECODED')",
+                         "print('DECODED2')")
+    env2 = dict(env, JAX_DEBUG_LOG_MODULES="jax._src.compilation_cache")
+    r2 = subprocess.run([sys.executable, "-c", prog2], capture_output=True,
+                        timeout=600, cwd=root, env=env2, text=True)
+    assert r2.returncode == 0 and "DECODED2" in r2.stdout, (r2.stdout, r2.stderr)
+    assert "cache" in r2.stderr.lower()  # cache machinery engaged
