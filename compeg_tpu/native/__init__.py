@@ -104,10 +104,12 @@ def load() -> Optional[ctypes.CDLL]:
     return _lib
 
 
-def scan_info(scan: bytes) -> Tuple[int, int]:
+def scan_info(scan) -> Tuple[int, int]:
     """(num_intervals, max_destuffed_segment_bytes) — native fast path."""
     lib = load()
     assert lib is not None
+    if not isinstance(scan, bytes):
+        scan = bytes(scan)  # memoryview from the header-cache hit path
     n = ctypes.c_int64()
     mx = ctypes.c_int64()
     rc = lib.compeg_scan_info(scan, len(scan), ctypes.byref(n), ctypes.byref(mx))

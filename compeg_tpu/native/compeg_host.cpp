@@ -19,6 +19,7 @@
 #include <functional>
 #include <mutex>
 #include <thread>
+#include <type_traits>
 #include <vector>
 
 #if defined(__AVX2__)
@@ -61,6 +62,120 @@ static inline void visit_ff(const uint8_t* base, int64_t lo, int64_t hi,
 static inline bool has_ff_u64(uint64_t v) {
   uint64_t x = ~v;  // FF bytes -> 0x00
   return ((x - 0x0101010101010101ull) & ~x & 0x8080808080808080ull) != 0;
+}
+
+// SIMD-classified RST walk over [lo, hi): classifies every FF's follower
+// in-register (RST D0-D7 / stuffing 00 / fill FF / real marker) so the
+// scalar per-FF loop only runs for RST markers — on typical 4K scans ~90%
+// of FFs are RSTs and the classify branches were the walk's hot path.
+//
+// Calls on_rst(pos, pend) for each RST marker FF at `pos`, where `pend` is
+// true iff the segment ENDING at pos contained any FF byte (stuffing pair
+// or fill); on_rst returns false to stop. On return: *term_out is the
+// offset of the first real-marker FF (scan terminator) or -1, and
+// *tail_pend reports an FF sighted after the last delivered RST (the final
+// segment's has-FF flag). Matches visit_ff's classification exactly (the
+// follower of a consumed pair is never itself FF, so per-position
+// classification is context-free).
+template <typename OnRst>
+static inline void rst_walk(const uint8_t* scan, int64_t lo, int64_t hi,
+                            int64_t len, OnRst&& on_rst, int64_t* term_out,
+                            bool* tail_pend) {
+  int64_t term = -1;
+  bool stopped = false;
+  bool pend = false;       // FF inside the currently-open segment
+  int64_t i = lo;
+#if defined(__AVX2__)
+  const __m256i ff = _mm256_set1_epi8(static_cast<char>(0xFF));
+  const __m256i d0 = _mm256_set1_epi8(static_cast<char>(0xD0));
+  const __m256i f8 = _mm256_set1_epi8(static_cast<char>(0xF8));
+  const __m256i zero = _mm256_setzero_si256();
+  for (; i + 32 <= hi && i + 33 <= len && !stopped && term < 0; i += 32) {
+    const __m256i v =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(scan + i));
+    uint32_t mff =
+        static_cast<uint32_t>(_mm256_movemask_epi8(_mm256_cmpeq_epi8(v, ff)));
+    if (!mff) continue;
+    const __m256i vn =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(scan + i + 1));
+    const uint32_t mrst =
+        static_cast<uint32_t>(_mm256_movemask_epi8(
+            _mm256_cmpeq_epi8(_mm256_and_si256(vn, f8), d0))) &
+        mff;
+    const uint32_t mstuff =
+        (static_cast<uint32_t>(_mm256_movemask_epi8(_mm256_cmpeq_epi8(vn, zero))) |
+         static_cast<uint32_t>(_mm256_movemask_epi8(_mm256_cmpeq_epi8(vn, ff)))) &
+        mff;
+    const uint32_t mterm = mff & ~mrst & ~mstuff;
+    if (__builtin_expect(mterm != 0, 0)) {
+      // A real marker inside this window: ordered scalar processing.
+      bool prior = pend;
+      pend = false;
+      uint32_t seen = 0;  // stuffing positions inside this window
+      uint32_t m = mff;
+      while (m) {
+        int b = __builtin_ctz(m);
+        m &= m - 1;
+        const int64_t p = i + b;
+        const uint8_t nxt = scan[p + 1];
+        if (nxt >= 0xD0 && nxt <= 0xD7) {
+          const bool pf =
+              pend || prior || (seen & (b ? ((1u << b) - 1) : 0)) != 0;
+          pend = false;
+          prior = false;
+          seen &= ~(b ? ((1u << b) - 1) : 0);
+          if (!on_rst(p, pf)) {
+            stopped = true;
+            break;
+          }
+        } else if (nxt == 0x00 || nxt == 0xFF) {
+          seen |= 1u << b;
+        } else {
+          term = p;
+          break;
+        }
+      }
+      pend = pend || prior || seen != 0;
+      continue;
+    }
+    uint32_t m = mrst;
+    uint32_t pmask = mstuff;
+    while (m) {
+      int b = __builtin_ctz(m);
+      m &= m - 1;
+      const bool pf =
+          pend || (pmask & (b ? ((1u << b) - 1) : 0)) != 0;
+      pend = false;
+      pmask &= ~(b ? ((1u << b) - 1) : 0);
+      if (!on_rst(i + b, pf)) {
+        stopped = true;
+        break;
+      }
+    }
+    if (stopped) break;
+    if (pmask) pend = true;
+  }
+#endif
+  // Scalar tail (and the whole walk without AVX2).
+  for (; i < hi && !stopped && term < 0; i++) {
+    if (scan[i] != 0xFF) continue;
+    if (i + 1 >= len) {
+      pend = true;
+      break;
+    }
+    const uint8_t nxt = scan[i + 1];
+    if (nxt >= 0xD0 && nxt <= 0xD7) {
+      const bool pf = pend;
+      pend = false;
+      if (!on_rst(i, pf)) stopped = true;
+    } else if (nxt == 0x00 || nxt == 0xFF) {
+      pend = true;
+    } else {
+      term = i;
+    }
+  }
+  *term_out = term;
+  *tail_pend = pend;
 }
 
 #if defined(__AVX2__)
@@ -349,26 +464,17 @@ bool build_marks(const uint8_t* scan, int64_t len, int64_t expected, int nt,
     Chunk& c = cs[t];
     c.m.reserve(static_cast<size_t>(expected) / nt + 8);
     c.f.reserve(static_cast<size_t>(expected) / nt + 8);
-    uint8_t pend = 0;
     int64_t term = -1;
-    visit_ff(scan, lo, hi, [&](int64_t i) {
-      if (term >= 0) return;
-      if (i + 1 >= len) {  // trailing lone FF is plain segment data
-        pend = 1;
-        return;
-      }
-      uint8_t nxt = scan[i + 1];
-      if (nxt >= 0xD0 && nxt <= 0xD7) {
-        c.m.push_back(i);
-        c.f.push_back(pend);
-        pend = 0;
-      } else if (nxt == 0x00 || nxt == 0xFF) {
-        pend = 1;  // stuffing pair / fill byte: stays in the segment
-      } else {
-        term = i;
-      }
-    });
-    c.tail = pend;
+    bool tail = false;
+    rst_walk(
+        scan, lo, hi, len,
+        [&](int64_t i, bool pend) -> bool {
+          c.m.push_back(i);
+          c.f.push_back(pend ? 1 : 0);
+          return true;
+        },
+        &term, &tail);
+    c.tail = tail ? 1 : 0;
     c.term = term;
   };
   Pool::instance().run(nt, find_markers);
@@ -500,7 +606,7 @@ int64_t pack_segment_row(const uint8_t* scan, SegSpan span, uint32_t* row,
   const int64_t raw = span.end - span.begin;
   const uint8_t* src = scan + span.begin;
 #if defined(__AVX2__)
-  if (raw <= 32 && max_bytes >= 32 && span.begin + 32 <= safe_end) {
+  if (raw <= 32 && raw <= max_bytes && span.begin + 32 <= safe_end) {
     const __m256i v =
         _mm256_loadu_si256(reinterpret_cast<const __m256i*>(src));
     uint32_t ffm = 0;
@@ -516,10 +622,17 @@ int64_t pack_segment_row(const uint8_t* scan, SegSpan span, uint32_t* row,
       const __m256i bswap = _mm256_setr_epi8(
           3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12,
           3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12);
-      _mm256_storeu_si256(
-          reinterpret_cast<__m256i*>(row),
-          _mm256_shuffle_epi8(_mm256_and_si256(v, keep), bswap));
-      for (int64_t k = 8; k < W; k++) row[k] = 0;
+      const __m256i out0 =
+          _mm256_shuffle_epi8(_mm256_and_si256(v, keep), bswap);
+      if (W >= 8) {
+        _mm256_storeu_si256(reinterpret_cast<__m256i*>(row), out0);
+        for (int64_t k = 8; k < W; k++) row[k] = 0;
+      } else {
+        // W < 8: masked store of exactly W words (zero tail included).
+        const __m256i wm = _mm256_loadu_si256(
+            reinterpret_cast<const __m256i*>(kLenTab + 32 - 4 * W));
+        _mm256_maskstore_epi32(reinterpret_cast<int*>(row), wm, out0);
+      }
       return raw;
     }
   }
@@ -614,7 +727,11 @@ int64_t pack_segment_row(const uint8_t* scan, SegSpan span, uint32_t* row,
 // zeroed afterwards from the active mask (scattered under the tiled
 // permutation, but only ~7% of rows on typical geometry).
 // Returns 0, or -2 segment overflow, -3 interval count mismatch.
-static int pack_blocks_fused_serial(const uint8_t* scan, int64_t len,
+// Templated on bandedness so the common unbanded emit path carries no
+// division/branch for the sharded band layout.
+extern "C++" {
+template <bool kBanded, bool kWide>
+int pack_blocks_fused_serial_impl(const uint8_t* scan, int64_t len,
                                     int64_t expected, int32_t W, int32_t G,
                                     uint32_t* words, int32_t* active,
                                     int64_t safe, int32_t tile_spr,
@@ -661,15 +778,23 @@ static int pack_blocks_fused_serial(const uint8_t* scan, int64_t len,
 
   // Incremental segment position: (mr, sc) with shift-only slot math.
   int64_t seg = 0, seg_start = 0, mr = 0, sc = 0;
-  bool pend = false;   // FF seen inside the current segment
   bool overflow = false;
   const int64_t ntrb = tile_band_rows > 0 ? (tile_band_rows + 7) >> 3 : 0;
+  const int64_t max_bytes = static_cast<int64_t>(W) * 4;
+  // Fast-path eligibility cap, hoisted: raw <= fast_cap implies both the
+  // 32-byte-load bound and the no-overflow bound.
+  const int64_t fast_cap = max_bytes < 32 ? max_bytes : 32;
+#if defined(__AVX2__)
+  const __m256i bswap32 = _mm256_setr_epi8(
+      3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12,
+      3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12);
+#endif
 
-  auto emit = [&](int64_t end) -> bool {
+  auto emit = [&](int64_t end, bool pend) -> bool {
     int64_t row;
     if (tiled) {
       int64_t bt, lmr;
-      if (tile_band_rows > 0) {
+      if (kBanded) {
         lmr = mr % tile_band_rows;
         bt = (mr / tile_band_rows) * ntrb + (lmr >> 3);
       } else {
@@ -696,40 +821,57 @@ static int pack_blocks_fused_serial(const uint8_t* scan, int64_t len,
       cur_r0 = r & ~int64_t{7};
     }
     const int64_t dr = r & 7;
-    if (pack_segment_row(scan, {seg_start, end}, strip.data() + dr * W, W,
-                         safe, pend) < 0)
+    uint32_t* rowp = strip.data() + dr * W;
+    const int64_t raw = end - seg_start;
+#if defined(__AVX2__)
+    // Inlined fast path: FF-free segment of <= 32 bytes (the overwhelming
+    // majority at typical restart intervals) — one masked load + byte
+    // reverse + store, no call.
+    if (!pend && raw <= fast_cap && seg_start + 32 <= safe) {
+      const __m256i v = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(scan + seg_start));
+      const __m256i keep = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(kLenTab + 32 - raw));
+      const __m256i out0 =
+          _mm256_shuffle_epi8(_mm256_and_si256(v, keep), bswap32);
+      if (kWide) {
+        _mm256_storeu_si256(reinterpret_cast<__m256i*>(rowp), out0);
+        for (int64_t k = 8; k < W; k++) rowp[k] = 0;
+      } else {
+        const __m256i wm = _mm256_loadu_si256(
+            reinterpret_cast<const __m256i*>(kLenTab + 32 - 4 * W));
+        _mm256_maskstore_epi32(reinterpret_cast<int*>(rowp), wm, out0);
+      }
+    } else
+#endif
+    if (pack_segment_row(scan, {seg_start, end}, rowp, W, safe, pend) < 0)
       return false;
     present |= 1u << dr;
     active[row] = 1;
     seg_start = end + 2;
-    pend = false;
     return true;
   };
 
   int64_t term = -1;
+  bool tail_pend = false;
   bool miscount = false;
-  visit_ff(scan, 0, len, [&](int64_t i) {
-    if (term >= 0 || overflow || miscount) return;
-    if (i + 1 >= len) {  // trailing lone FF is plain segment data
-      pend = true;
-      return;
-    }
-    uint8_t nxt = scan[i + 1];
-    if (nxt >= 0xD0 && nxt <= 0xD7) {
-      if (seg >= expected - 1) {
-        miscount = true;  // more markers than expected
-        return;
-      }
-      if (!emit(i)) overflow = true;
-    } else if (nxt == 0x00 || nxt == 0xFF) {
-      pend = true;
-    } else {
-      term = i;
-    }
-  });
+  rst_walk(
+      scan, 0, len, len,
+      [&](int64_t i, bool pend) -> bool {
+        if (seg >= expected - 1) {
+          miscount = true;  // more markers than expected
+          return false;
+        }
+        if (!emit(i, pend)) {
+          overflow = true;
+          return false;
+        }
+        return true;
+      },
+      &term, &tail_pend);
   if (overflow) return -2;
   if (miscount || seg != expected - 1) return -3;
-  if (!emit(term >= 0 ? term : len)) return -2;
+  if (!emit(term >= 0 ? term : len, tail_pend)) return -2;
   flush();
 
   // Zero the padding slots (active == 0). Scattered under the tiled
@@ -744,6 +886,7 @@ static int pack_blocks_fused_serial(const uint8_t* scan, int64_t len,
   }
   return 0;
 }
+}  // extern "C++"
 
 }  // namespace
 
@@ -851,10 +994,19 @@ int compeg_pack_blocks(const uint8_t* data, int64_t data_len, int64_t offset,
   const uint8_t* scan = data + offset;
 
   int nt = n_threads > 0 ? n_threads : 1;
-  if (nt == 1)
-    return pack_blocks_fused_serial(scan, len, expected, W, G, words, active,
-                                    data_len - offset, tile_spr, tile_ntc,
-                                    tile_band_rows);
+  if (nt == 1) {
+    auto run = [&](auto banded, auto wide) {
+      return pack_blocks_fused_serial_impl<decltype(banded)::value,
+                                           decltype(wide)::value>(
+          scan, len, expected, W, G, words, active, data_len - offset,
+          tile_spr, tile_ntc, tile_band_rows);
+    };
+    using T = std::true_type;
+    using F = std::false_type;
+    const bool banded = tile_band_rows > 0, wide = W >= 8;
+    return banded ? (wide ? run(T{}, T{}) : run(T{}, F{}))
+                  : (wide ? run(F{}, T{}) : run(F{}, F{}));
+  }
   std::vector<int64_t> marks;
   std::vector<uint8_t> hasff;
   if (!build_marks(scan, len, expected, nt, marks, hasff)) return -3;
@@ -870,6 +1022,7 @@ int compeg_pack_blocks(const uint8_t* data, int64_t data_len, int64_t offset,
   // transpose; the strip stays in L1 end to end).
   const bool tiled = tile_spr > 0 && tile_ntc > 0;
   const int64_t safe = data_len - offset;
+  const int64_t max_bytes = static_cast<int64_t>(W) * 4;
   // One task per block: fine-grained tasks let the caller and late-waking
   // pool workers (vCPU wakeup here is ms-scale) load-balance naturally.
   std::vector<int> rcs(static_cast<size_t>(G), 0);
@@ -913,8 +1066,35 @@ int compeg_pack_blocks(const uint8_t* data, int64_t data_len, int64_t offset,
           act[r] = 0;
           continue;
         }
-        if (pack_segment_row(scan, seg_span(seg), strip.data() + dr * W, W,
-                             safe, hasff[seg] != 0) < 0) {
+        const SegSpan sp = seg_span(seg);
+        uint32_t* rowp = strip.data() + dr * W;
+#if defined(__AVX2__)
+        // Inlined FF-free <=32-byte fast path (see the serial packer).
+        const int64_t raw = sp.end - sp.begin;
+        if (hasff[seg] == 0 && raw <= 32 && raw <= max_bytes &&
+            sp.begin + 32 <= safe) {
+          const __m256i bswap32 = _mm256_setr_epi8(
+              3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12,
+              3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12);
+          const __m256i v = _mm256_loadu_si256(
+              reinterpret_cast<const __m256i*>(scan + sp.begin));
+          const __m256i keep = _mm256_loadu_si256(
+              reinterpret_cast<const __m256i*>(kLenTab + 32 - raw));
+          const __m256i out0 =
+              _mm256_shuffle_epi8(_mm256_and_si256(v, keep), bswap32);
+          if (W >= 8) {
+            _mm256_storeu_si256(reinterpret_cast<__m256i*>(rowp), out0);
+            for (int64_t k = 8; k < W; k++) rowp[k] = 0;
+          } else {
+            const __m256i wm = _mm256_loadu_si256(
+                reinterpret_cast<const __m256i*>(kLenTab + 32 - 4 * W));
+            _mm256_maskstore_epi32(reinterpret_cast<int*>(rowp), wm, out0);
+          }
+          act[r] = 1;
+          continue;
+        }
+#endif
+        if (pack_segment_row(scan, sp, rowp, W, safe, hasff[seg] != 0) < 0) {
           rcs[g] = -2;
           return;
         }

@@ -439,7 +439,11 @@ class Decoder:
                     tmpl = cached[1]
                     src = bytes(data)
                     if native.available():
-                        scan = src[tmpl.scan_offset :]
+                        # Zero-copy view: the native pack reads the scan
+                        # straight out of `src` via (offset, length); slicing
+                        # bytes here would copy the whole ~MB scan span
+                        # (~0.15 ms/4K frame of pure memcpy).
+                        scan = memoryview(src)[tmpl.scan_offset :]
                     else:
                         end = src.find(b"\xff\xd9", tmpl.scan_offset)
                         scan = src[tmpl.scan_offset : end] if end >= 0 else None
