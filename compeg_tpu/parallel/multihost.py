@@ -145,23 +145,32 @@ def measure_scaling(
     batch_for,
     device_counts: List[int],
     iters: int = 3,
+    trials: int = 1,
 ) -> List[Tuple[int, float, float]]:
     """Weak-scaling measurement: for each n in ``device_counts`` decode a
     batch proportional to n on an n-device mesh. Returns
-    ``[(n, frames_per_s, efficiency_vs_smallest)]``."""
+    ``[(n, frames_per_s, efficiency_vs_smallest)]``. ``trials`` repeats the
+    timed loop and keeps the MEDIAN (time-shared vCPUs steal cycles; a min
+    would let the 1-device baseline harvest its single uncontended core
+    moment while larger n — needing all cores quiet at once — cannot,
+    biasing efficiency down)."""
     results = []
     base_rate = None
     for n in device_counts:
         args = batch_for(n)
         out = decode_fn(n, *args)
         out.block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = decode_fn(n, *args)
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / iters
+        times = []
+        for _ in range(max(1, trials)):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = decode_fn(n, *args)
+            out.block_until_ready()
+            times.append((time.perf_counter() - t0) / iters)
+        times.sort()
+        med = times[len(times) // 2]
         frames = args[0].shape[0]
-        rate = frames / dt
+        rate = frames / med
         if base_rate is None:
             base_rate = rate / n
         results.append((n, rate, rate / (n * base_rate)))
