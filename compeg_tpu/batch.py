@@ -34,10 +34,41 @@ from .pipeline import Decoder, FrameGeometry, PreparedFrame
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "plan", "geom", "batch", "retained", "interpret", "exact_idct",
-        "fancy",
+        "plan", "samplings", "tiling", "retained", "interpret",
+        "exact_idct", "rgb",
     ),
 )
+def _batch_kernel_tiled(
+    words, seg_mcus, idct_l, plan, samplings, tiling, retained,
+    interpret, exact_idct, rgb,
+):
+    """Kernel-only program over the whole batch slab (frames concatenate
+    along the tile-row axis)."""
+    from .ops import fused as F
+    from .pipeline import _as_blocks
+
+    return F.fused_decode_blocks(
+        _as_blocks(words), seg_mcus, idct_l, plan, samplings,
+        retained, interpret, exact_idct, tiled=True, tiling=tiling, rgb=rgb,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("geom",))
+def _assemble_frame_tiled(blocks: jax.Array, i, geom) -> jax.Array:
+    """One frame's minor-swap assembly out of the batch slab (``i`` is a
+    traced index: one executable serves every frame)."""
+    from .ops import fused as F
+
+    n_tr1, n_tc = geom.tiling
+    _, RT, M = blocks.shape
+    rimw = M // (n_tc * F.LANES)
+    sl = jax.lax.dynamic_slice(blocks, (i * n_tr1, 0, 0),
+                               (n_tr1, blocks.shape[1], M))
+    z = sl.reshape(n_tr1 * RT, n_tc, rimw, F.LANES)
+    img = z.swapaxes(2, 3).reshape(n_tr1 * RT, M)
+    return img[: geom.height, : geom.width]
+
+
 def decode_batch_fused(
     words: jax.Array,  # [B*G*1024, W] rows or [B*G, W, 8, 128] uint32
     seg_mcus: jax.Array,  # [B*G, 8, 128] int32
@@ -50,37 +81,66 @@ def decode_batch_fused(
     exact_idct: bool = False,
     fancy: bool = False,
 ) -> jax.Array:
-    """Decode ``batch`` same-geometry frames in ONE fused dispatch.
+    """Decode ``batch`` same-geometry frames in one kernel dispatch.
 
     One kernel launch covers every restart segment of every frame (the grid
     is just "blocks of 1024 segments", so frames concatenate along it), and
     the caller's single ``words`` array means one h2d transfer per batch —
     the transfer-latency amortization the tunnel-bound rig needs. Returns a
-    TUPLE of B packed-RGBA ``[H, W]`` u32 arrays (not a stacked [B, H, W]:
-    the stack is a pure concat copy, ~0.1 ms/4K frame of device time that
-    per-frame outputs simply don't pay — r4 B=8 trace).
+    TUPLE of B packed-RGBA ``[H, W]`` u32 arrays.
+
+    The nearest/tiled fast path runs the kernel in its own jit and each
+    frame's assembly as a separate jitted call (one executable, traced frame
+    index). Putting all B assemblies inside one jit let XLA horizontally
+    fuse the per-frame swap copies into wide copies that run ~40% slower
+    per byte (+19%/frame at B=64, r4); split, B=64 measures 0.80 ms/frame
+    vs 0.82 single-frame (tools/exp_b64v2.py). A lax.map formulation was
+    also tried: 1.10 ms/frame and a 3-minute compile.
     """
     from .ops import fused as F
     from .pipeline import _as_blocks
 
     if geom.tiling is not None and not fancy:
-        # Fast path, same as the single-frame default (r4): the in-kernel
-        # RGBA composite + one minor-swap assembly per frame. Batched
-        # frames concatenate along the tile-row axis (blocks are (tr, tc)
-        # row-major per frame), so frame i's image is tile-rows
-        # [i*n_tr, (i+1)*n_tr) of the one slab — a free major-dim slice.
-        blocks = F.fused_decode_blocks(
-            _as_blocks(words), seg_mcus, idct_l, plan, geom.samplings,
-            retained, interpret, exact_idct, tiled=True,
-            tiling=(batch * geom.tiling[0], geom.tiling[1]), rgb=geom.rgb,
+        import jax.numpy as jnp
+
+        blocks = _batch_kernel_tiled(
+            words, seg_mcus, idct_l, plan, geom.samplings,
+            (batch * geom.tiling[0], geom.tiling[1]), retained, interpret,
+            exact_idct, geom.rgb,
         )
-        n_tr1 = geom.tiling[0]
         return tuple(
-            F.assemble_image_tiled(
-                blocks[i * n_tr1 : (i + 1) * n_tr1], geom
-            )
+            _assemble_frame_tiled(blocks, jnp.int32(i), geom)
             for i in range(batch)
         )
+    return _decode_batch_fused_onejit(
+        words, seg_mcus, idct_l, plan, geom, batch, retained, interpret,
+        exact_idct, fancy,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "plan", "geom", "batch", "retained", "interpret", "exact_idct",
+        "fancy",
+    ),
+)
+def _decode_batch_fused_onejit(
+    words: jax.Array,
+    seg_mcus: jax.Array,
+    idct_l: jax.Array,
+    plan: E.EntropyPlan,
+    geom: FrameGeometry,
+    batch: int,
+    retained: int = 64,
+    interpret: bool = False,
+    exact_idct: bool = False,
+    fancy: bool = False,
+) -> jax.Array:
+    """Single-jit batch decode for the fancy (planes) and untiled paths."""
+    from .ops import fused as F
+    from .pipeline import _as_blocks
+
     if geom.tiling is not None:
         # Fancy upsampling rides the per-component planes + XLA epilogue
         # (the triangle filter needs raster-space neighbors). Batched

@@ -1,8 +1,8 @@
 #!/usr/bin/env python
 """Steady-state streaming measurement: can the host feed one chip?
 
-The chip decodes a 4K frame in ~0.88 ms (1135 fps). One prepare thread
-takes ~3.5 ms/frame on this 4-vCPU VM, so a stream needs concurrent
+The chip decodes a 4K frame in ~0.82 ms (1224 fps). One prepare thread
+takes ~1.7 ms/frame on this 4-vCPU VM, so a stream needs concurrent
 prepares. This tool measures what the extrapolation claimed:
 
  1. AGGREGATE prepare throughput with T in-flight prepare threads on one
