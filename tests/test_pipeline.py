@@ -325,3 +325,24 @@ def test_fancy_exact_idct_fused_matches_staged(sampling, test_image):
     b = Decoder(interpret=True, fancy_upsampling=True, exact_idct=True,
                 fused=False).decode(data)
     assert np.array_equal(a, b)
+
+
+def test_e2e_vs_reference_aan_arithmetic(test_image):
+    """The device float path against the reference's OWN arithmetic: the
+    golden AAN oracle (op-for-op jidctflt model, golden.idct_pixels_aan).
+    Default float pipeline must sit within ±2 (f32 rounding-order ulps of
+    the same linear map); the compat config (zrl17 + retained=32) must sit
+    within ±2 of the oracle evaluated at the same semantics. On the 4K
+    stream the measured distributions are in PARITY.md."""
+    img = test_image(32, 48, "noise")
+    data = encoder.encode(img, sampling="422", quality=88,
+                          restart_interval_mcus=1)
+    got = decode_rgb(data)
+    want = golden.decode_rgb(data, idct="aan")
+    assert_close_pixels(got, want, tol=2)
+
+    got_c = Decoder(interpret=True, zrl_compat=True,
+                    retained_coefficients=32).decode(data)
+    want_c = golden.decode_rgb(data, retained_coefficients=32, idct="aan",
+                               zrl17=True)
+    assert_close_pixels(got_c, want_c, tol=2)
