@@ -274,3 +274,44 @@ def test_pack_blocks_banded_serial_matches_pooled(test_image):
     )
     assert np.array_equal(b1, py.words)
     assert np.array_equal(a1, py.active)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_pack_randomized_differential_fuzz(seed):
+    """Randomized differential fuzz of the SIMD-classified RST walk
+    (rst_walk, r5): random segment-length mixes with random stuffing
+    density, FF fill bytes before RST markers, trailing garbage after a
+    terminator, and lengths tuned so markers land at every 32-byte window
+    phase — native pack (serial AND pooled, linear AND tiled) must equal
+    the Python oracle byte-for-byte."""
+    rng = np.random.default_rng(1000 + seed)
+    n = int(rng.integers(20, 200))
+    seg_lens = rng.integers(0, 40, n).tolist()
+    # Stuffed FFs in ~1/4 of segments, including doubled FFs.
+    stuffs = {}
+    for i in range(0, n, int(rng.integers(3, 6))):
+        k = int(rng.integers(1, 3))
+        stuffs[i] = tuple(
+            int(x) for x in rng.integers(0, max(seg_lens[i], 1), k)
+        )
+    scan = _synthetic_scan(seg_lens, stuffs)
+    # FF fill bytes directly before a random RST marker (spec-legal
+    # padding the classifier must treat as in-segment FF data).
+    if n > 3:
+        mark = scan.find(b"\xff\xd1")
+        if mark > 0:
+            scan = scan[:mark] + b"\xff\xff" + scan[mark:]
+    segs = S.split_intervals(scan, n)
+    w = S._words_per_segment(max(len(s) for s in segs))
+    g = -(-n // S.SEGMENTS_PER_BLOCK)
+    py = S.to_device_layout(segs, w)
+    # Terminator + trailing garbage (incl. an RST lookalike past the end).
+    data = scan + b"\xff\xd9" + b"\x00\xffgarbage\xff\xd3trailer"
+    for nt in (1, 4):
+        words, active = native.pack_blocks(
+            data, n, w, g, length=len(data), n_threads=nt
+        )
+        assert np.array_equal(words, py.words), (seed, nt)
+        assert np.array_equal(active, py.active), (seed, nt)
+    ni, mx = native.scan_info(data)
+    assert ni == n and mx == max(len(s) for s in segs)
