@@ -58,7 +58,8 @@ import numpy as np
 # waits until the shared epoch, times N batches, prints fps.
 _WORKER = r'''
 import os, sys, time, json
-os.environ["XLA_FLAGS"] = "--xla_cpu_multi_thread_eigen=false"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_cpu_multi_thread_eigen=false")
 import jax
 jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, %(here)r)
@@ -99,10 +100,24 @@ def independent_process_control(k: int, warmup_s: float = 30.0) -> float:
     body = _WORKER % {"here": HERE}
     start = time.time() + warmup_s
     ps = [subprocess.Popen([sys.executable, "-c", body, str(start)],
-                           stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                           stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                            text=True) for _ in range(k)]
-    outs = [p.communicate(timeout=600)[0] for p in ps]
-    return sum(json.loads(o.strip().splitlines()[-1])["fps"] for o in outs)
+    try:
+        outs = [p.communicate(timeout=600) for p in ps]
+    except subprocess.TimeoutExpired:
+        for p in ps:
+            if p.poll() is None:
+                p.kill()
+        raise
+    total = 0.0
+    for p, (out, err) in zip(ps, outs):
+        lines = out.strip().splitlines()
+        if p.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"control worker failed (rc={p.returncode}): {err[-800:]}"
+            )
+        total += json.loads(lines[-1])["fps"]
+    return total
 
 
 def main() -> None:

@@ -56,17 +56,16 @@ def _batch_kernel_tiled(
 @functools.partial(jax.jit, static_argnames=("geom",))
 def _assemble_frame_tiled(blocks: jax.Array, i, geom) -> jax.Array:
     """One frame's minor-swap assembly out of the batch slab (``i`` is a
-    traced index: one executable serves every frame)."""
+    traced index: one executable serves every frame). The swap/crop itself
+    is the single-frame assembly, shared so the two paths cannot diverge."""
     from .ops import fused as F
 
-    n_tr1, n_tc = geom.tiling
-    _, RT, M = blocks.shape
-    rimw = M // (n_tc * F.LANES)
-    sl = jax.lax.dynamic_slice(blocks, (i * n_tr1, 0, 0),
-                               (n_tr1, blocks.shape[1], M))
-    z = sl.reshape(n_tr1 * RT, n_tc, rimw, F.LANES)
-    img = z.swapaxes(2, 3).reshape(n_tr1 * RT, M)
-    return img[: geom.height, : geom.width]
+    n_tr1 = geom.tiling[0]
+    sl = jax.lax.dynamic_slice(
+        blocks, (i * n_tr1, 0, 0),
+        (n_tr1, blocks.shape[1], blocks.shape[2]),
+    )
+    return F.assemble_image_tiled(sl, geom)
 
 
 def decode_batch_fused(

@@ -54,7 +54,7 @@ def load() -> Optional[ctypes.CDLL]:
     lib = ctypes.CDLL(_SO)
     lib.compeg_scan_info.restype = ctypes.c_int
     lib.compeg_scan_info.argtypes = [
-        ctypes.c_char_p,
+        ctypes.c_void_p,  # accepts bytes or a raw address (offset view)
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
@@ -104,15 +104,23 @@ def load() -> Optional[ctypes.CDLL]:
     return _lib
 
 
-def scan_info(scan) -> Tuple[int, int]:
-    """(num_intervals, max_destuffed_segment_bytes) — native fast path."""
+def scan_info(
+    scan, offset: int = 0, length: Optional[int] = None
+) -> Tuple[int, int]:
+    """(num_intervals, max_destuffed_segment_bytes) — native fast path.
+
+    ``scan`` may be the whole file with ``offset``/``length`` selecting the
+    entropy-coded span (no slice copy — the scanner is terminator-aware)."""
     lib = load()
     assert lib is not None
     if not isinstance(scan, bytes):
-        scan = bytes(scan)  # memoryview from the header-cache hit path
+        scan = bytes(scan)  # memoryview callers without an offset
+    if length is None:
+        length = len(scan) - offset
+    base = ctypes.cast(ctypes.c_char_p(scan), ctypes.c_void_p).value + offset
     n = ctypes.c_int64()
     mx = ctypes.c_int64()
-    rc = lib.compeg_scan_info(scan, len(scan), ctypes.byref(n), ctypes.byref(mx))
+    rc = lib.compeg_scan_info(base, length, ctypes.byref(n), ctypes.byref(mx))
     if rc != 0:
         from ..errors import bail
 

@@ -586,6 +586,49 @@ alignas(32) static const uint8_t kLenTab[64] = {
     0,    0,    0,    0,    0,    0,    0,    0,
     0,    0,    0,    0,    0,    0,    0,    0,
     0,    0,    0,    0,    0,    0,    0,    0};
+
+// FF-free short-segment pack: one masked 32-byte load + per-u32 byte
+// reverse into a W-word row, zeroing the pad tail. The ONE source of truth
+// for the fast path shared by pack_segment_row, the serial packer's emit,
+// and the pooled per-block worker. Preconditions: raw <= 32, raw <= W*4,
+// src + 32 readable, span known FF-free.
+extern "C++" {
+// ``bswap`` is the per-u32 byte-reverse shuffle control
+// (kBswap32(), hoisted by loop callers so it stays in a register).
+template <bool kWide>  // compile-time W >= 8 (callers hoist the width class)
+__attribute__((always_inline)) inline void pack_short_row(
+    const uint8_t* src, int64_t raw, uint32_t* row, int64_t W,
+    const __m256i bswap) {
+  const __m256i v =
+      _mm256_loadu_si256(reinterpret_cast<const __m256i*>(src));
+  const __m256i keep = _mm256_loadu_si256(
+      reinterpret_cast<const __m256i*>(kLenTab + 32 - raw));
+  const __m256i out0 = _mm256_shuffle_epi8(_mm256_and_si256(v, keep), bswap);
+  if (kWide) {
+    _mm256_storeu_si256(reinterpret_cast<__m256i*>(row), out0);
+    for (int64_t k = 8; k < W; k++) row[k] = 0;
+  } else {
+    // W < 8: masked store of exactly W words (zero tail included).
+    const __m256i wm = _mm256_loadu_si256(
+        reinterpret_cast<const __m256i*>(kLenTab + 32 - 4 * W));
+    _mm256_maskstore_epi32(reinterpret_cast<int*>(row), wm, out0);
+  }
+}
+}  // extern "C++"
+
+static inline __m256i kBswap32() {
+  return _mm256_setr_epi8(
+      3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12,
+      3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12);
+}
+
+static inline void pack_short_row_dispatch(const uint8_t* src, int64_t raw,
+                                           uint32_t* row, int64_t W) {
+  if (W >= 8)
+    pack_short_row<true>(src, raw, row, W, kBswap32());
+  else
+    pack_short_row<false>(src, raw, row, W, kBswap32());
+}
 #endif
 
 // Pack one segment into a contiguous row of W MSB-first words, zeroing the
@@ -617,22 +660,7 @@ int64_t pack_segment_row(const uint8_t* scan, SegSpan span, uint32_t* row,
     const uint32_t lenm =
         raw >= 32 ? 0xFFFFFFFFu : ((1u << raw) - 1u);
     if ((ffm & lenm) == 0) {
-      const __m256i keep = _mm256_loadu_si256(
-          reinterpret_cast<const __m256i*>(kLenTab + 32 - raw));
-      const __m256i bswap = _mm256_setr_epi8(
-          3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12,
-          3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12);
-      const __m256i out0 =
-          _mm256_shuffle_epi8(_mm256_and_si256(v, keep), bswap);
-      if (W >= 8) {
-        _mm256_storeu_si256(reinterpret_cast<__m256i*>(row), out0);
-        for (int64_t k = 8; k < W; k++) row[k] = 0;
-      } else {
-        // W < 8: masked store of exactly W words (zero tail included).
-        const __m256i wm = _mm256_loadu_si256(
-            reinterpret_cast<const __m256i*>(kLenTab + 32 - 4 * W));
-        _mm256_maskstore_epi32(reinterpret_cast<int*>(row), wm, out0);
-      }
+      pack_short_row_dispatch(src, raw, row, W);
       return raw;
     }
   }
@@ -730,8 +758,11 @@ int64_t pack_segment_row(const uint8_t* scan, SegSpan span, uint32_t* row,
 // Templated on bandedness so the common unbanded emit path carries no
 // division/branch for the sharded band layout.
 extern "C++" {
+// flatten: the emit/pack lambdas MUST inline into the walk loop — an
+// outlined per-segment call costs ~0.2 ms/frame (measured when the
+// inliner declined after a refactor).
 template <bool kBanded, bool kWide>
-int pack_blocks_fused_serial_impl(const uint8_t* scan, int64_t len,
+__attribute__((flatten, noinline)) int pack_blocks_fused_serial_impl(const uint8_t* scan, int64_t len,
                                     int64_t expected, int32_t W, int32_t G,
                                     uint32_t* words, int32_t* active,
                                     int64_t safe, int32_t tile_spr,
@@ -742,6 +773,10 @@ int pack_blocks_fused_serial_impl(const uint8_t* scan, int64_t len,
 
   thread_local std::vector<uint32_t> strip;
   strip.resize(8 * static_cast<size_t>(W));
+  // Hoisted raw pointer: thread_local access from a dlopen'd shared
+  // library is a __tls_get_addr CALL per use — per-segment that cost
+  // ~0.4 ms/4K frame (measured .so vs static link).
+  uint32_t* const stripp = strip.data();
   int64_t k8 = 0;
 #if defined(__AVX2__)
   k8 = W & ~int64_t{7};
@@ -758,19 +793,19 @@ int pack_blocks_fused_serial_impl(const uint8_t* scan, int64_t len,
     if (present == 0xFF) {
 #if defined(__AVX2__)
       for (int64_t k0 = 0; k0 < k8; k0 += 8)
-        transpose8x8_u32(strip.data() + k0, W,
+        transpose8x8_u32(stripp + k0, W,
                          out + k0 * kSegsPerBlock + cur_r0, kSegsPerBlock);
 #endif
       for (int64_t k = k8; k < W; k++) {
         uint32_t* dst = out + k * kSegsPerBlock + cur_r0;
-        const uint32_t* src = strip.data() + k;
+        const uint32_t* src = stripp + k;
         for (int64_t dr = 0; dr < 8; dr++) dst[dr] = src[dr * W];
       }
     } else {
       for (int64_t dr = 0; dr < 8; dr++) {
         if (!((present >> dr) & 1)) continue;
         for (int64_t k = 0; k < W; k++)
-          out[k * kSegsPerBlock + cur_r0 + dr] = strip[dr * W + k];
+          out[k * kSegsPerBlock + cur_r0 + dr] = stripp[dr * W + k];
       }
     }
     present = 0;
@@ -785,9 +820,7 @@ int pack_blocks_fused_serial_impl(const uint8_t* scan, int64_t len,
   // 32-byte-load bound and the no-overflow bound.
   const int64_t fast_cap = max_bytes < 32 ? max_bytes : 32;
 #if defined(__AVX2__)
-  const __m256i bswap32 = _mm256_setr_epi8(
-      3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12,
-      3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12);
+  const __m256i bswap32 = kBswap32();
 #endif
 
   auto emit = [&](int64_t end, bool pend) -> bool {
@@ -821,27 +854,14 @@ int pack_blocks_fused_serial_impl(const uint8_t* scan, int64_t len,
       cur_r0 = r & ~int64_t{7};
     }
     const int64_t dr = r & 7;
-    uint32_t* rowp = strip.data() + dr * W;
+    uint32_t* rowp = stripp + dr * W;
     const int64_t raw = end - seg_start;
 #if defined(__AVX2__)
     // Inlined fast path: FF-free segment of <= 32 bytes (the overwhelming
     // majority at typical restart intervals) — one masked load + byte
     // reverse + store, no call.
     if (!pend && raw <= fast_cap && seg_start + 32 <= safe) {
-      const __m256i v = _mm256_loadu_si256(
-          reinterpret_cast<const __m256i*>(scan + seg_start));
-      const __m256i keep = _mm256_loadu_si256(
-          reinterpret_cast<const __m256i*>(kLenTab + 32 - raw));
-      const __m256i out0 =
-          _mm256_shuffle_epi8(_mm256_and_si256(v, keep), bswap32);
-      if (kWide) {
-        _mm256_storeu_si256(reinterpret_cast<__m256i*>(rowp), out0);
-        for (int64_t k = 8; k < W; k++) rowp[k] = 0;
-      } else {
-        const __m256i wm = _mm256_loadu_si256(
-            reinterpret_cast<const __m256i*>(kLenTab + 32 - 4 * W));
-        _mm256_maskstore_epi32(reinterpret_cast<int*>(rowp), wm, out0);
-      }
+      pack_short_row<kWide>(scan + seg_start, raw, rowp, W, bswap32);
     } else
 #endif
     if (pack_segment_row(scan, {seg_start, end}, rowp, W, safe, pend) < 0)
@@ -1028,9 +1048,12 @@ int compeg_pack_blocks(const uint8_t* data, int64_t data_len, int64_t offset,
   std::vector<int> rcs(static_cast<size_t>(G), 0);
   auto work = [&](int g64) {
     const int64_t g = g64;
-    // Per-OS-thread strip buffer, reused across tasks and calls.
+    // Per-OS-thread strip buffer, reused across tasks and calls. The raw
+    // pointer is hoisted: thread_local access from a dlopen'd .so is a
+    // __tls_get_addr call per use.
     thread_local std::vector<uint32_t> strip;
     strip.resize(8 * static_cast<size_t>(W));
+    uint32_t* const stripp = strip.data();
     int32_t* act = active + g * kSegsPerBlock;
     uint32_t* out = words + g * static_cast<int64_t>(W) * kSegsPerBlock;
     int64_t k8 = 0;
@@ -1062,34 +1085,18 @@ int compeg_pack_blocks(const uint8_t* data, int64_t data_len, int64_t offset,
           seg = g * kSegsPerBlock + r;
         }
         if (seg < 0 || seg >= nseg) {
-          std::memset(strip.data() + dr * W, 0, sizeof(uint32_t) * W);
+          std::memset(stripp + dr * W, 0, sizeof(uint32_t) * W);
           act[r] = 0;
           continue;
         }
         const SegSpan sp = seg_span(seg);
-        uint32_t* rowp = strip.data() + dr * W;
+        uint32_t* rowp = stripp + dr * W;
 #if defined(__AVX2__)
         // Inlined FF-free <=32-byte fast path (see the serial packer).
         const int64_t raw = sp.end - sp.begin;
         if (hasff[seg] == 0 && raw <= 32 && raw <= max_bytes &&
             sp.begin + 32 <= safe) {
-          const __m256i bswap32 = _mm256_setr_epi8(
-              3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12,
-              3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12);
-          const __m256i v = _mm256_loadu_si256(
-              reinterpret_cast<const __m256i*>(scan + sp.begin));
-          const __m256i keep = _mm256_loadu_si256(
-              reinterpret_cast<const __m256i*>(kLenTab + 32 - raw));
-          const __m256i out0 =
-              _mm256_shuffle_epi8(_mm256_and_si256(v, keep), bswap32);
-          if (W >= 8) {
-            _mm256_storeu_si256(reinterpret_cast<__m256i*>(rowp), out0);
-            for (int64_t k = 8; k < W; k++) rowp[k] = 0;
-          } else {
-            const __m256i wm = _mm256_loadu_si256(
-                reinterpret_cast<const __m256i*>(kLenTab + 32 - 4 * W));
-            _mm256_maskstore_epi32(reinterpret_cast<int*>(rowp), wm, out0);
-          }
+          pack_short_row_dispatch(scan + sp.begin, raw, rowp, W);
           act[r] = 1;
           continue;
         }
@@ -1102,12 +1109,12 @@ int compeg_pack_blocks(const uint8_t* data, int64_t data_len, int64_t offset,
       }
 #if defined(__AVX2__)
       for (int64_t k0 = 0; k0 < k8; k0 += 8)
-        transpose8x8_u32(strip.data() + k0, W, out + k0 * kSegsPerBlock + r0,
+        transpose8x8_u32(stripp + k0, W, out + k0 * kSegsPerBlock + r0,
                          kSegsPerBlock);
 #endif
       for (int64_t k = k8; k < W; k++) {
         uint32_t* dst = out + k * kSegsPerBlock + r0;
-        const uint32_t* src = strip.data() + k;
+        const uint32_t* src = stripp + k;
         for (int64_t dr = 0; dr < 8; dr++) dst[dr] = src[dr * W];
       }
     }

@@ -167,8 +167,9 @@ def measure_scaling(
                 out = decode_fn(n, *args)
             out.block_until_ready()
             times.append((time.perf_counter() - t0) / iters)
-        times.sort()
-        med = times[len(times) // 2]
+        import statistics
+
+        med = statistics.median(times)
         frames = args[0].shape[0]
         rate = frames / med
         if base_rate is None:

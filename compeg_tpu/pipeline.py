@@ -517,7 +517,8 @@ class Decoder:
                     except CompegError:
                         words = None  # overflow or count change: re-measure
                 if words is None:
-                    n, mx = native.scan_info(img.scan_data)
+                    # Zero-copy: scan straight out of the file buffer.
+                    n, mx = native.scan_info(src, offset=off, length=ln)
                     if n != expected:
                         raise CompegError(
                             f"scan contains {n} restart intervals, expected {expected}"
