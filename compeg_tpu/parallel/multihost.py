@@ -140,6 +140,82 @@ def dryrun_multiprocess(
     jax.distributed.shutdown()
 
 
+def bench_multiprocess(
+    process_id: int,
+    num_processes: int = 2,
+    coordinator_address: str = "localhost:12356",
+    local_devices: int = 2,
+    frames_per_device: int = 2,
+    iters: int = 8,
+) -> float:
+    """Timed multi-process decode step (real work, the jax.distributed
+    path): every process feeds its local shard of a global data-parallel
+    batch and times ``iters`` decode steps between global barriers.
+    Returns this process's frames/s for the GLOBAL batch (the slowest
+    process defines the job rate; the launcher takes the min).
+
+    ``num_processes=1`` is the single-process baseline of the
+    process-to-process weak-scaling comparison (tools/dryrun_multiproc.py
+    --bench)."""
+    import time as _time
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    init_distributed(coordinator_address, num_processes, process_id)
+    n_global = num_processes * local_devices
+    assert jax.device_count() == n_global
+
+    from ..encoder import encode
+    from ..metadata import analyze
+    from ..pipeline import FrameGeometry
+    from . import sharding as SH
+
+    mesh = global_mesh(n_seq=1)
+    h, w = 64, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 3 % 256, yy * 5 % 256, (xx + yy) % 256], axis=-1
+    ).astype(np.uint8)
+    data = encode(img, sampling="422", quality=85, restart_interval_mcus=1)
+    meta = analyze(data)
+    bf = SH.prepare_banded(meta, 1)
+    geom = FrameGeometry.from_image(meta)
+
+    n_frames_local = local_devices * frames_per_device
+    words_l, seg_l = SH.stack_banded([bf] * n_frames_local)
+    spec = P("data", "seq")
+    words_g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), words_l
+    )
+    seg_g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), seg_l
+    )
+    qz = jnp.asarray(bf.qz_by_slot)
+
+    def step():
+        return SH.decode_batch_sharded(
+            words_g, seg_g, qz, bf.plan, mesh=mesh, geom=geom,
+            band_rows=bf.band_rows, tiling=bf.tiling, interpret=True,
+        )
+
+    step().block_until_ready()
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("bench_start")
+    t0 = _time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = step()
+    out.block_until_ready()
+    multihost_utils.sync_global_devices("bench_end")
+    dt = (_time.perf_counter() - t0) / iters
+    if num_processes > 1:
+        jax.distributed.shutdown()
+    return num_processes * n_frames_local / dt
+
+
 def measure_scaling(
     decode_fn,
     batch_for,
