@@ -236,12 +236,14 @@ class BatchDecoder:
         fused: bool = True,
         exact_idct: bool = False,
         fancy_upsampling: bool = False,
+        compilation_cache=False,
     ):
         # fused is passed through: prepare() chooses the raster-tiled slot
         # layout only for the fused path, and the staged batch decode
         # (decode_batch_device) assumes linear segment-major slots.
         self._dec = Decoder(
-            retained_coefficients, interpret, fused=fused, exact_idct=exact_idct
+            retained_coefficients, interpret, fused=fused,
+            exact_idct=exact_idct, compilation_cache=compilation_cache,
         )
         self.retained = retained_coefficients
         self.fused = fused
@@ -339,6 +341,7 @@ class StreamDecoder:
         interpret: Optional[bool] = None,
         depth: int = 2,
         prepare_threads: Optional[int] = None,
+        compilation_cache=False,
     ):
         import os
 
@@ -351,6 +354,7 @@ class StreamDecoder:
             retained_coefficients,
             interpret,
             pack_threads=1 if prepare_threads > 1 else None,
+            compilation_cache=compilation_cache,
         )
         self.depth = depth
         self.prepare_threads = prepare_threads
