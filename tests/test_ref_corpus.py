@@ -274,3 +274,16 @@ def test_rgb_device_path():
         assert np.abs(got - want).max() <= 1, planes_epilogue
     got_exact = Decoder(interpret=True, exact_idct=True).decode(data)
     assert np.array_equal(got_exact, golden.decode_rgb(data, idct="int"))
+
+
+@pytest.mark.parametrize("name", ["refs-64x8-Ri-1", "refs-64x8-Ri-2"])
+def test_reftest_pixels_aan_oracle(name):
+    """The jidctflt-model golden decode at the reference's exact semantics
+    (zrl17, retained=32, float AAN butterflies) against the reference's own
+    PNG ground truth, at its reftest tolerance — the closest executable
+    statement of 'produces what Compeg's GPU produces' (src/tests.rs:18)."""
+    got = golden.decode_rgb(
+        _load(name), retained_coefficients=32, idct="aan", zrl17=True
+    ).astype(int)
+    diff = np.abs(got - _png_64x8())
+    assert diff.max() <= ABS_TOLERANCE, (name, diff.max())
