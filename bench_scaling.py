@@ -85,13 +85,16 @@ def run():
         geom=geom, band_rows=bf.band_rows, tiling=bf.tiling, interpret=True)
 run().block_until_ready()
 start = float(sys.argv[1])
+late = time.time() >= start  # missed the start barrier: overlap is broken
 while time.time() < start: time.sleep(0.005)
+w0 = time.time()
 t0 = time.perf_counter()
 N = 16
 for _ in range(N):
     out = run()
 out.block_until_ready()
-print(json.dumps({"fps": 2*N/(time.perf_counter()-t0)}))
+dt = time.perf_counter() - t0
+print(json.dumps({"fps": 2*N/dt, "late": late, "t0": w0, "t1": w0 + dt}))
 '''
 
 
@@ -110,13 +113,26 @@ def independent_process_control(k: int, warmup_s: float = 30.0) -> float:
                 p.kill()
         raise
     total = 0.0
+    recs = []
     for p, (out, err) in zip(ps, outs):
         lines = out.strip().splitlines()
         if p.returncode != 0 or not lines:
             raise RuntimeError(
                 f"control worker failed (rc={p.returncode}): {err[-800:]}"
             )
-        total += json.loads(lines[-1])["fps"]
+        recs.append(json.loads(lines[-1]))
+        total += recs[-1]["fps"]
+    # The k runs must actually overlap, or the "aggregate" is partially
+    # serialized and overstates the machine ceiling (understating the
+    # program efficiency it normalizes). A worker that reached the barrier
+    # after the epoch (cold import/compile > warmup) breaks the overlap.
+    if any(r.get("late") for r in recs) or (
+        len(recs) > 1 and max(r["t0"] for r in recs) >= min(r["t1"] for r in recs)
+    ):
+        raise RuntimeError(
+            "control workers did not overlap (cold start exceeded the "
+            f"{warmup_s:.0f}s warmup barrier) — rerun with a larger warmup"
+        )
     return total
 
 

@@ -96,9 +96,6 @@ def decode_batch_fused(
     vs 0.82 single-frame (tools/exp_b64v2.py). A lax.map formulation was
     also tried: 1.10 ms/frame and a 3-minute compile.
     """
-    from .ops import fused as F
-    from .pipeline import _as_blocks
-
     if geom.tiling is not None and not fancy:
         import jax.numpy as jnp
 
