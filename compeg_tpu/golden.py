@@ -296,14 +296,15 @@ def idct_pixels_int(
 
 
 def assemble_planes(
-    img: ImageData, pixels: np.ndarray
+    img: ImageData, pixels: np.ndarray, blk: int = 8
 ) -> List[np.ndarray]:
     """Scatter per-DU pixel blocks into per-component planes at component
-    resolution (before upsampling). ``pixels`` is ``[N_du, 64]`` u8."""
+    resolution (before upsampling). ``pixels`` is ``[N_du, blk*blk]`` u8
+    (``blk`` < 8 for the scaled thumbnail decode)."""
     planes = []
     for ci, c in enumerate(img.components):
-        pw = img.width_mcus * c.h_sample * 8
-        ph = img.height_mcus * c.v_sample * 8
+        pw = img.width_mcus * c.h_sample * blk
+        ph = img.height_mcus * c.v_sample * blk
         planes.append(np.zeros((ph, pw), dtype=np.uint8))
     dus_per_mcu = img.dus_per_mcu
     for m in range(img.total_mcus):
@@ -312,10 +313,10 @@ def assemble_planes(
         for ci, c in enumerate(img.components):
             for v in range(c.v_sample):
                 for h in range(c.h_sample):
-                    blk = pixels[m * dus_per_mcu + slot].reshape(8, 8)
-                    y0 = (my * c.v_sample + v) * 8
-                    x0 = (mx * c.h_sample + h) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+                    b = pixels[m * dus_per_mcu + slot].reshape(blk, blk)
+                    y0 = (my * c.v_sample + v) * blk
+                    x0 = (mx * c.h_sample + h) * blk
+                    planes[ci][y0 : y0 + blk, x0 : x0 + blk] = b
                     slot += 1
     return planes
 
@@ -333,32 +334,70 @@ def ycbcr_to_rgb_reference(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.
     return np.clip(rgb, 0, 255).astype(np.uint8)
 
 
+def idct_pixels_scaled(
+    coeffs_raw: np.ndarray,
+    img: ImageData,
+    scale_blocks: int,
+    retained_coefficients: int = 64,
+) -> np.ndarray:
+    """``[N, 64]`` raw coefficients -> ``[N, k*k]`` u8 pixels via the
+    k-point scaled IDCT (DCT-domain downsample; luts.scaled_idct_matrix_zigzag)."""
+    from .ops.luts import scaled_idct_matrix_zigzag
+
+    Lk = scaled_idct_matrix_zigzag(scale_blocks, retained_coefficients)
+    dus = img.dus_per_mcu
+    n = coeffs_raw.shape[0]
+    q = np.stack([np.asarray(img.qtable_for_comp(c)) for c in img.du_to_comp])
+    x = coeffs_raw.reshape(n // dus, dus, 64).astype(np.float32)
+    x = x * q[None].astype(np.float32)
+    pix = np.einsum("pz,mdz->mdp", Lk, x) + np.float32(128.5)
+    k2 = scale_blocks * scale_blocks
+    return np.clip(pix, 0.0, 255.0).astype(np.uint8).reshape(n, k2)
+
+
+def scaled_size(img: ImageData, scale_blocks: int) -> tuple:
+    """(height, width) of the ``scale_blocks/8`` scaled decode (libjpeg
+    rounding: ceil(dim * k / 8))."""
+    k = scale_blocks
+    return (-(-img.height * k // 8), -(-img.width * k // 8))
+
+
 def decode_rgb(
     data_or_img,
     retained_coefficients: int = 64,
     idct: str = "float",
     zrl17: bool = False,
+    scale_blocks: int = 8,
 ) -> np.ndarray:
     """Full golden decode: JPEG bytes (or ImageData) -> ``[H, W, 3]`` u8.
 
     Chroma upsampling is nearest-neighbor sample replication, like the
     reference (src/dct.wgsl:302-313). ``zrl17`` selects the reference's
     ZRL-advance-17 compat semantics (see decode_segment_coefficients).
+    ``scale_blocks=k`` (1/2/4/8) decodes at k/8 scale via the k-point
+    scaled IDCT — the libjpeg ``scale_denom`` thumbnail path; output is
+    ``ceil(H*k/8) x ceil(W*k/8)``. Only ``idct="float"`` supports k<8.
     """
     from .metadata import analyze
 
     img = data_or_img if isinstance(data_or_img, ImageData) else analyze(data_or_img)
+    k = scale_blocks
+    if k != 8 and idct != "float":
+        bail("scaled decode supports idct='float' only")
     coeffs = decode_coefficients(img, dequant=False, zrl17=zrl17)
     if idct == "int":
         pixels = idct_pixels_int(coeffs, img, retained_coefficients)
     elif idct == "aan":
         # The reference's own float AAN butterflies (jidctflt port).
         pixels = idct_pixels_aan(coeffs, img, retained_coefficients)
+    elif k != 8:
+        pixels = idct_pixels_scaled(coeffs, img, k, retained_coefficients)
     else:
         pixels = idct_pixels_raw(coeffs, img, retained_coefficients)
-    planes = assemble_planes(img, pixels)
+    planes = assemble_planes(img, pixels, blk=k)
+    hs, ws = scaled_size(img, k)
     if len(planes) == 1:
-        yp = planes[0][: img.height, : img.width]
+        yp = planes[0][:hs, :ws]
         return np.stack([yp, yp, yp], axis=-1)
     up = []
     for ci, c in enumerate(img.components):
@@ -369,7 +408,7 @@ def decode_rgb(
             p = np.repeat(p, fx, axis=1)
         if fy > 1:
             p = np.repeat(p, fy, axis=0)
-        up.append(p[: img.height, : img.width])
+        up.append(p[:hs, :ws])
     if img.color_space == "rgb":
         # Component IDs R,G,B: samples are already RGB (libjpeg semantics).
         return np.stack(up, axis=-1)

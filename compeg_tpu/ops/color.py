@@ -20,31 +20,36 @@ import jax.numpy as jnp
 
 
 def assemble_component_plane(
-    pix_mcus: jax.Array,  # [total_mcus, sv*sh, 64] int32 for one component
+    pix_mcus: jax.Array,  # [total_mcus, sv*sh, blk*blk] int32, one component
     width_mcus: int,
     height_mcus: int,
     sh: int,
     sv: int,
+    blk: int = 8,
 ) -> jax.Array:
     """Per-MCU DU blocks -> one plane at component resolution
-    ``[height_mcus*sv*8, width_mcus*sh*8]``."""
-    x = pix_mcus.reshape(height_mcus, width_mcus, sv, sh, 8, 8)
-    x = x.transpose(0, 2, 4, 1, 3, 5)  # [hm, sv, 8, wm, sh, 8]
-    return x.reshape(height_mcus * sv * 8, width_mcus * sh * 8)
+    ``[height_mcus*sv*blk, width_mcus*sh*blk]`` (``blk`` < 8 for the
+    scaled thumbnail decode)."""
+    x = pix_mcus.reshape(height_mcus, width_mcus, sv, sh, blk, blk)
+    x = x.transpose(0, 2, 4, 1, 3, 5)  # [hm, sv, blk, wm, sh, blk]
+    return x.reshape(height_mcus * sv * blk, width_mcus * sh * blk)
 
 
 def component_planes(
-    pixels: jax.Array,  # [G, RI, DUS, 64, 8, 128] int32 from idct_pixels
+    pixels: jax.Array,  # [G, RI, DUS, blk*blk, 8, 128] int32 (idct_pixels)
     *,
     samplings: Tuple[Tuple[int, int], ...],
     width_mcus: int,
     height_mcus: int,
+    blk: int = 8,
 ) -> Tuple[jax.Array, ...]:
     """Per-component planes at component resolution (no upsampling, no color
     conversion) from linear-slot decoded pixels."""
     G, RI, DUS, _, S, L = pixels.shape
     total_mcus = width_mcus * height_mcus
-    x = pixels.transpose(0, 4, 5, 1, 2, 3).reshape(G * S * L * RI, DUS, 64)
+    x = pixels.transpose(0, 4, 5, 1, 2, 3).reshape(
+        G * S * L * RI, DUS, blk * blk
+    )
     x = x[:total_mcus]
     planes = []
     slot = 0
@@ -52,7 +57,8 @@ def component_planes(
         ndu = sh * sv
         planes.append(
             assemble_component_plane(
-                x[:, slot : slot + ndu, :], width_mcus, height_mcus, sh, sv
+                x[:, slot : slot + ndu, :], width_mcus, height_mcus, sh, sv,
+                blk,
             )
         )
         slot += ndu
@@ -199,7 +205,7 @@ def finalize_band(
 
 
 def finalize_rgb(
-    pixels: jax.Array,  # [G, RI, DUS, 64, 8, 128] int32 from idct_pixels
+    pixels: jax.Array,  # [G, RI, DUS, blk*blk, 8, 128] int32 (idct_pixels)
     *,
     ri: int,
     du_to_comp: Tuple[int, ...],
@@ -210,15 +216,20 @@ def finalize_rgb(
     height_mcus: int,
     fancy: bool = False,
     rgb: bool = False,
+    blk: int = 8,
 ) -> jax.Array:
     """Full finalize: assemble planes, upsample, convert. Returns [H, W, 3] u8.
 
     Grayscale (one component) replicates luma into all three channels.
+    ``blk`` < 8 is the scaled thumbnail decode (callers pass the SCALED
+    width/height for the crop).
     """
     G, RI, DUS, _, S, L = pixels.shape
     total_mcus = width_mcus * height_mcus
-    # Segment-major ordering: [G, sub, lane, RI, DUS, 64] -> [mcu, DUS, 64].
-    x = pixels.transpose(0, 4, 5, 1, 2, 3).reshape(G * S * L * RI, DUS, 64)
+    # Segment-major ordering: [G, sub, lane, RI, DUS, k2] -> [mcu, DUS, k2].
+    x = pixels.transpose(0, 4, 5, 1, 2, 3).reshape(
+        G * S * L * RI, DUS, blk * blk
+    )
     x = x[:total_mcus]
 
     max_h = max(s[0] for s in samplings)
@@ -228,7 +239,7 @@ def finalize_rgb(
     for ci, (sh, sv) in enumerate(samplings):
         ndu = sh * sv
         plane = assemble_component_plane(
-            x[:, slot : slot + ndu, :], width_mcus, height_mcus, sh, sv
+            x[:, slot : slot + ndu, :], width_mcus, height_mcus, sh, sv, blk
         )
         fx, fy = max_h // sh, max_v // sv
         if not fancy:

@@ -59,6 +59,41 @@ def idct_dequant_matrices_paired(
     return out
 
 
+def scaled_idct_matrix_zigzag(
+    k: int, retained_coefficients: int = 64
+) -> np.ndarray:
+    """``Lk`` with ``pixels_kxk_flat = Lk @ coeff_zigzag``: [k*k, 64 zigzag].
+
+    The k-point scaled IDCT (libjpeg ``scale_num/scale_denom = k/8``):
+    reconstructs a k×k pixel block from the 8×8 block's low k×k
+    frequencies — the DCT-domain downsample used for thumbnail decode.
+
+    Derivation (same ``c(u)/2`` basis convention as :func:`dct_basis`): the
+    8-point coefficients of a signal relate to the k-point coefficients of
+    its (8/k):1 downsample by ``C_k ≈ (k/8)·C_8[:k]``, and the k-point
+    basis satisfies ``C_k·C_kᵀ = (k/8)·I``, so its inverse is
+    ``(8/k)·C_kᵀ`` and the scale factors cancel exactly:
+    ``pixels_k = C_kᵀ · C_8[:k]`` — i.e. the operator is simply the
+    truncated-frequency k-point cosine basis with NO extra scaling. k=8
+    reduces to :func:`idct_matrix_zigzag`; k=1 gives the DC/8 thumbnail
+    pixel (libjpeg jidctred's 1×1 convention).
+    """
+    if k not in (1, 2, 4, 8):
+        raise ValueError(f"scale_blocks must be 1, 2, 4, or 8 (got {k})")
+    u = np.arange(8)[None, :]
+    n = np.arange(k)[:, None]
+    c = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
+    Ak8 = np.where(
+        u < k, 0.5 * c * np.cos((2 * n + 1) * u * np.pi / (2.0 * k)), 0.0
+    )  # [k pixels, 8 freqs]; frequencies >= k discarded
+    L = np.kron(Ak8, Ak8)  # pixels[y*k+x] = sum L[(y,x),(u,v)] F[u,v]
+    Lz = L[:, UNZIGZAG]
+    if retained_coefficients < 64:
+        Lz = Lz.copy()
+        Lz[:, retained_coefficients:] = 0.0
+    return Lz.astype(np.float32)
+
+
 def idct_matrix_zigzag(retained_coefficients: int = 64) -> np.ndarray:
     """``L`` with ``pixels_flat = L @ coeff_zigzag``: [64 raster, 64 zigzag].
 

@@ -220,6 +220,59 @@ def decode_frame_component_planes(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("plan", "geom", "scale_blocks", "retained", "interpret"),
+)
+def decode_frame_scaled(
+    words: jax.Array,  # [G*1024, W] rows or [G, W, 8, 128] uint32 (linear)
+    seg_mcus: jax.Array,  # [G, 8, 128] int32
+    qz_by_slot: jax.Array,  # [DUS, 64] int32
+    plan: E.EntropyPlan,
+    geom: FrameGeometry,
+    scale_blocks: int,
+    retained: int = 64,
+    interpret: bool = False,
+) -> jax.Array:
+    """Scaled (thumbnail) decode at ``scale_blocks/8`` scale — the libjpeg
+    ``scale_num/scale_denom`` path, as a DCT-domain downsample: the entropy
+    kernel runs unchanged and the IDCT contracts the k-point scaled
+    operator (ops/luts.scaled_idct_matrix_zigzag) instead of the full one,
+    so a 1/8-scale decode pays only the entropy cost plus a 64x smaller
+    epilogue. Returns ``[ceil(H*k/8), ceil(W*k/8), 3]`` u8 RGB.
+
+    Rides the staged (linear-slot) pipeline; nearest chroma sampling."""
+    import jax.numpy as jnp
+
+    from .ops.luts import scaled_idct_matrix_zigzag
+
+    k = scale_blocks
+    coeffs = E.entropy_decode(_as_blocks(words), seg_mcus, plan,
+                              interpret=interpret)
+    Lk = jnp.asarray(scaled_idct_matrix_zigzag(k, retained))
+    deq = coeffs.astype(jnp.float32) * qz_by_slot[
+        None, None, :, :, None, None
+    ].astype(jnp.float32)
+    pix = jnp.einsum("pz,grdzsl->grdpsl", Lk, deq,
+                     precision=jax.lax.Precision.HIGHEST)
+    pix = jnp.clip(pix + jnp.float32(128.5), 0.0, 255.0).astype(jnp.int32)
+    hs = -(-geom.height * k // 8)
+    ws = -(-geom.width * k // 8)
+    return C.finalize_rgb(
+        pix,
+        ri=geom.ri,
+        du_to_comp=geom.du_to_comp,
+        samplings=geom.samplings,
+        width=ws,
+        height=hs,
+        width_mcus=geom.width_mcus,
+        height_mcus=geom.height_mcus,
+        fancy=False,
+        rgb=geom.rgb,
+        blk=k,
+    )
+
+
+@functools.partial(
     jax.jit, static_argnames=("plan", "geom", "retained", "interpret")
 )
 def decode_frame_component_planes_staged(
@@ -748,6 +801,40 @@ class Decoder:
             np.asarray(p)[:hc, :wc].astype(np.uint8)
             for p, (hc, wc) in zip(planes, crops)
         ]
+
+    def decode_scaled(self, data, scale_blocks: int) -> np.ndarray:
+        """Thumbnail decode at ``scale_blocks/8`` scale (k ∈ {1, 2, 4, 8}):
+        ``[ceil(H*k/8), ceil(W*k/8), 3]`` u8 RGB via the k-point scaled
+        IDCT — the libjpeg ``scale_denom`` feature the reference lacks.
+        k=1 is the DC-only preview (entropy cost only; the IDCT/epilogue
+        shrink 64x). k=8 is the full decode.
+
+        Scaled decode rides the staged (linear-slot) pipeline, so this
+        keeps a dedicated staged preparer whose caches are independent of
+        the fused full-decode path."""
+        if scale_blocks == 8:
+            return self.decode(data)
+        if scale_blocks not in (1, 2, 4):
+            raise CompegError(
+                f"scale_blocks must be 1, 2, 4, or 8 (got {scale_blocks})"
+            )
+        sdec = getattr(self, "_scaled_dec", None)
+        if sdec is None:
+            # fused=False: linear slot packing, which the staged entropy
+            # decode expects (the fused path's raster-tiled permutation
+            # would scramble the staged assembly).
+            sdec = Decoder(
+                self.retained, self.interpret, fused=False,
+                zrl_compat=self.zrl_compat, pack_threads=self.pack_threads,
+            )
+            self._scaled_dec = sdec
+        pf = sdec.prepare(data)
+        return np.asarray(
+            decode_frame_scaled(
+                pf.words, pf.seg_mcus, pf.qz_by_slot, pf.plan, pf.geom,
+                scale_blocks, self.retained, self.interpret,
+            )
+        )
 
     def decode_rgba(self, data) -> np.ndarray:
         """Decode to [H, W, 4] u8 RGBA (alpha=255) — the reference's output
