@@ -19,13 +19,14 @@ ideas that remove every memory-indexed lookup:
    value words with a short select tree plus a per-lane dynamic-shift
    extract — the only "lookup" primitive the VPU gives us.
 
-3. **Position-synchronized commit loop.** Instead of each lane running its
+3. **Symbol-synchronous commit loop.** Instead of each lane running its
    own data-dependent AC loop (the reference's divergence problem,
-   TODO.txt:3-5), the kernel walks zigzag positions j = 0..63 *once*,
-   committing each lane's pending (position, value) pair when j reaches it
-   and immediately decoding that lane's next symbol. Every store is a dense
-   ``[8, 128]`` row write — no scatter — and the loop exits early (with a
-   min-jump over pending positions) as soon as every lane has hit EOB.
+   TODO.txt:3-5), every iteration decodes one AC symbol on every
+   still-active lane and masked-stores the coefficient at its (divergent)
+   zigzag row; lane liveness is folded into the position encoding and the
+   advance is uniform (``decode_mcu_coefficients`` — the same loop the
+   fused kernel runs; r5 replaced this kernel's original
+   position-synchronized walk with it, 2.35 -> 0.38 ms on the 4K stream).
 
 The output is **raw** (still-quantized) coefficients in zigzag order, laid
 out ``[G, RI, DUS, 64, 8, 128]`` so that the downstream dequant + IDCT stage
@@ -264,14 +265,101 @@ def decode_dc(decode_symbol, dctab, dp_s, comp, act, hi, lo, nbits, widx):
     return jnp.where(act, dp, 0), hi, lo, nbits, widx
 
 
+def decode_mcu_coefficients(
+    plan: EntropyPlan,
+    decode_symbol,
+    set_row,
+    ac_store_ref,
+    dp_s,
+    act,
+    hi,
+    lo,
+    nbits,
+    widx,
+    unroll: int = 8,
+    _ablate: str = "",
+):
+    """Decode ONE MCU's coefficients — the shared phase-1 loop of the fused
+    kernel and the staged entropy kernel (one implementation, two output
+    targets).
+
+    ``set_row(slot, row, vec)`` writes a dense ``[8, 128]`` coefficient row;
+    ``ac_store_ref(slot)`` returns the ``(64, 8, 128)`` ref the AC loop
+    masked-stores into. Returns the advanced bit-window state.
+
+    AC loop, symbol-synchronous: every iteration decodes one AC symbol on
+    every still-active lane and masked-stores the coefficient at its
+    (divergent) zigzag row. Iteration count is the max *symbol count* over
+    the block — ~2.7x fewer iterations than walking positions, at the price
+    of a 64-row masked store. Lane liveness is folded into the position
+    (pos >= 63 = finished; padding lanes start at 64) and the advance is
+    uniform (ZRL = rrrr 15, s 0 skips rrrr + 1 = 16 like a (run, size)
+    commit; only EOB/invalid jump to 64) — see r4 notes in RESULTS.md."""
+    iota_z = jax.lax.broadcasted_iota(I32, (64, SUBLANES, LANES), 0)
+    for slot, comp in enumerate(plan.du_to_comp):
+        dctab = plan.dc[comp]
+        actab = plan.ac[comp]
+
+        dc, hi, lo, nbits, widx = decode_dc(
+            decode_symbol, dctab, dp_s, comp, act, hi, lo, nbits, widx
+        )
+        set_row(slot, 0, dc)
+
+        def step(state):
+            pos, hi, lo, nbits, widx = state
+            mask = pos < 63
+            value, s, v, hi, lo, nbits, widx = decode_symbol(
+                actab, hi, lo, nbits, widx, mask, lambda val: val & 0xF
+            )
+            rrrr = jax.lax.shift_right_logical(value, 4)
+            coeff = _extend(v, s)
+            newpos = pos + rrrr + 1
+            if plan.zrl17:
+                # Compat mode: the reference skips 17 positions per ZRL
+                # (src/huffman.wgsl:182-185); spec/libjpeg skip 16.
+                newpos = newpos + ((s == 0) & (rrrr == 15)).astype(I32)
+            # Lanes with nothing to write target row 64 (out of range), so
+            # the write predicate folds into the row compare; finished lanes
+            # are excluded by newpos >= 65 (pos >= 64), no mask needed.
+            wrow = jnp.where((s != 0) & (newpos <= 63), newpos, 64)
+            if _ablate == "densestore":
+                # Budget probe: dense row-1 store, identical control flow.
+                set_row(slot, 1, coeff + wrow)
+            else:
+                pltpu.store(
+                    ac_store_ref(slot),
+                    jnp.broadcast_to(coeff[None], (64, SUBLANES, LANES)),
+                    mask=iota_z == wrow[None],
+                )
+            # EOB and invalid symbols (s == 0, not ZRL) terminate the lane;
+            # ZRL and committed coefficients advance, finishing naturally
+            # once newpos >= 63.
+            pos = jnp.where((s == 0) & (rrrr != 15), 64, newpos)
+            return pos, hi, lo, nbits, widx
+
+        def cond(state):
+            return jnp.any(state[0] < 63)
+
+        def body(state):
+            # Several symbols per trip amortize the cross-lane exit-check
+            # reduction; tails cost a few wasted masked passes.
+            for _ in range(unroll):
+                state = step(state)
+            return state
+
+        pos0 = jnp.where(act, 0, 64)
+        state = jax.lax.while_loop(cond, body, (pos0, hi, lo, nbits, widx))
+        _, hi, lo, nbits, widx = state
+    return hi, lo, nbits, widx
+
+
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(plan: EntropyPlan):
+def _make_kernel(plan: EntropyPlan, unroll: int = 8):
     W = plan.words_per_segment
-    ri = plan.ri
     dus = plan.dus_per_mcu
 
     def kernel(words_ref, segmcus_ref, out_ref, hi_s, lo_s, nb_s, wi_s, dp_s):
@@ -301,73 +389,23 @@ def _make_kernel(plan: EntropyPlan):
 
         decode_symbol = make_symbol_decoder(words, W)
 
-        for slot, comp in enumerate(plan.du_to_comp):
-            dctab = plan.dc[comp]
-            actab = plan.ac[comp]
-
-            # ---- DC coefficient ----------------------------------------
-            dc, hi, lo, nbits, widx = decode_dc(
-                decode_symbol, dctab, dp_s, comp, act, hi, lo, nbits, widx
-            )
-            out_ref[0, 0, slot, 0] = dc
-
-            # ---- AC coefficients: position-synchronized commit loop ----
-            # Pending state: nextpos/nextval hold each lane's next committed
-            # coefficient; 64 means "none" (EOB, past position 63, inactive).
-            def decode_next(base, hi, lo, nbits, widx, mask):
-                value, s, v, hi, lo, nbits, widx = decode_symbol(
-                    actab, hi, lo, nbits, widx, mask, lambda val: val & 0xF
-                )
-                rrrr = jax.lax.shift_right_logical(value, 4)
-                coeff = _extend(v, s)
-                is_eob = mask & (value == 0)
-                is_zrl = mask & (value == 0xF0)
-                # Spec semantics: ZRL commits a 0 sixteen positions on; a
-                # (run, size) symbol commits `coeff` after `run` zeros.
-                # Compat mode (plan.zrl17) drops one extra position per ZRL
-                # like the reference does.
-                zrl_off = 16 if plan.zrl17 else 15
-                nextpos = jnp.where(
-                    is_eob, 64, jnp.where(is_zrl, base + zrl_off, base + rrrr)
-                )
-                nextpos = jnp.minimum(nextpos, 64)
-                nextval = jnp.where(is_eob | is_zrl, 0, coeff)
-                return nextpos, nextval, hi, lo, nbits, widx
-
-            np0, nv0, hi, lo, nbits, widx = decode_next(
-                jnp.ones_like(widx), hi, lo, nbits, widx, act
-            )
-            np0 = jnp.where(act, np0, 64)
-
-            def cond(state):
-                j = state[0]
-                return j < 64
-
-            def body(state):
-                j, nextpos, nextval, hi, lo, nbits, widx = state
-                commit = nextpos == j
-                out_ref[0, 0, slot, pl.ds(j, 1)] = jnp.where(
-                    commit, nextval, 0
-                )[None]
-                # A coefficient at position 63 is the last of the DU and is
-                # NOT followed by an EOB — committing lanes decode their next
-                # symbol only below 63.
-                mask_next = commit & (j < 63)
-                np1, nv1, hi, lo, nbits, widx = decode_next(
-                    j + 1, hi, lo, nbits, widx, mask_next
-                )
-                nextpos = jnp.where(commit, jnp.where(mask_next, np1, 64), nextpos)
-                nextval = jnp.where(commit, jnp.where(mask_next, nv1, 0), nextval)
-                # Skip ahead to the earliest pending position (rows in
-                # between were pre-zeroed with the block).
-                j = jnp.min(nextpos).astype(I32)
-                return j, nextpos, nextval, hi, lo, nbits, widx
-
-            j0 = jnp.min(np0).astype(I32)
-            state = jax.lax.while_loop(
-                cond, body, (j0, np0, nv0, hi, lo, nbits, widx)
-            )
-            _, _, _, hi, lo, nbits, widx = state
+        # The fused kernel's symbol-synchronous phase-1 loop, masked-storing
+        # straight into the output block (r5: this replaced the original
+        # position-synchronized commit loop — 2.35 -> 0.38 ms on the 4K
+        # stream, identical output).
+        hi, lo, nbits, widx = decode_mcu_coefficients(
+            plan,
+            decode_symbol,
+            lambda slot, row, vec: out_ref.__setitem__((0, 0, slot, row), vec),
+            lambda slot: out_ref.at[0, 0, slot],
+            dp_s,
+            act,
+            hi,
+            lo,
+            nbits,
+            widx,
+            unroll=unroll,
+        )
 
         hi_s[:], lo_s[:] = hi, lo
         nb_s[:], wi_s[:] = nbits, widx
@@ -409,7 +447,9 @@ def entropy_decode(
     G = plan.num_blocks
     W = plan.words_per_segment
     dus = plan.dus_per_mcu
-    kernel = _make_kernel(plan)
+    # Interpret mode (tests) pays per-op tracing costs; the unroll only
+    # helps compiled TPU execution (same policy as the fused kernel).
+    kernel = _make_kernel(plan, unroll=1 if interpret else 8)
     grid = (G, plan.ri)
     out = pl.pallas_call(
         kernel,

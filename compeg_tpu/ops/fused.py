@@ -39,6 +39,7 @@ from .entropy import (
     U32,
     _extend,
     decode_dc,
+    decode_mcu_coefficients as E_decode_mcu,
     make_symbol_decoder,
 )
 
@@ -101,84 +102,26 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
         decode_symbol = make_symbol_decoder(words, W)
 
         # ---- phase 1: entropy decode into coeff_s ------------------------
-        for slot, comp in enumerate(plan.du_to_comp):
-            dctab = plan.dc[comp]
-            actab = plan.ac[comp]
-
-            dc, hi, lo, nbits, widx = decode_dc(
-                decode_symbol, dctab, dp_s, comp, act, hi, lo, nbits, widx
-            )
-            coeff_s[slot, 0] = dc
-
-            # AC loop, symbol-synchronous: every iteration decodes one AC
-            # symbol on every still-active lane and masked-stores the
-            # coefficient at its (divergent) zigzag row. Iteration count is
-            # the max *symbol count* over the block — ~2.7x fewer iterations
-            # than walking positions, at the price of a 64-row masked store.
-            # (A hot/cold split of the store at row 16 with a scalar any()
-            # gate measured ~1.8x SLOWER on the chip — the in-loop branch
-            # and sliced masked store cost more than the tall store saves.)
-            #
-            # Lane liveness is folded into the position: pos >= 63 means the
-            # lane is finished (EOB, invalid symbol, position overrun, or
-            # inactive — pos starts at 64 for padding lanes), so there is no
-            # separate done vector. The advance is uniform because ZRL
-            # (value 0xF0: rrrr=15, s=0) skips exactly rrrr + 1 = 16
-            # positions like a (run, size) symbol commits at pos+rrrr+1 —
-            # only EOB/invalid (s == 0, rrrr != 15) diverge, jumping to 64.
-            # This costs ~10 fewer vector ops per symbol than the explicit
-            # eob/zrl/normal/invalid classification it replaces.
-            iota_z = jax.lax.broadcasted_iota(I32, (64, SUBLANES, LANES), 0)
-
-            def cond(state):
-                pos = state[0]
-                return jnp.any(pos < 63)
-
-            def step(state):
-                pos, hi, lo, nbits, widx = state
-                mask = pos < 63
-                value, s, v, hi, lo, nbits, widx = decode_symbol(
-                    actab, hi, lo, nbits, widx, mask, lambda val: val & 0xF
-                )
-                rrrr = jax.lax.shift_right_logical(value, 4)
-                coeff = _extend(v, s)
-                newpos = pos + rrrr + 1
-                if plan.zrl17:
-                    # Compat mode: the reference skips 17 positions per ZRL
-                    # (src/huffman.wgsl:182-185); spec/libjpeg skip 16.
-                    newpos = newpos + ((s == 0) & (rrrr == 15)).astype(I32)
-                # Lanes with nothing to write target row 64 (out of range),
-                # so the write predicate folds into the row compare; finished
-                # lanes are excluded by newpos >= 65 (pos >= 64), no mask
-                # needed.
-                wrow = jnp.where((s != 0) & (newpos <= 63), newpos, 64)
-                if _ablate == "densestore":
-                    # Budget probe: dense row-0 store, identical control flow.
-                    coeff_s[slot, 1] = coeff + wrow
-                else:
-                    pltpu.store(
-                        coeff_s.at[slot],
-                        jnp.broadcast_to(coeff[None], (64, SUBLANES, LANES)),
-                        mask=iota_z == wrow[None],
-                    )
-                # EOB and invalid symbols (s == 0, not ZRL) terminate the
-                # lane; ZRL and committed coefficients advance, finishing
-                # naturally once newpos >= 63.
-                pos = jnp.where((s == 0) & (rrrr != 15), 64, newpos)
-                return pos, hi, lo, nbits, widx
-
-            def body(state):
-                # Several symbols per trip amortize the cross-lane exit-check
-                # reduction; tails cost a few wasted masked passes.
-                for _ in range(unroll):
-                    state = step(state)
-                return state
-
-            pos0 = jnp.where(act, 0, 64)
-            state = jax.lax.while_loop(
-                cond, body, (pos0, hi, lo, nbits, widx)
-            )
-            _, hi, lo, nbits, widx = state
+        # Shared symbol-synchronous loop (entropy.decode_mcu_coefficients):
+        # every iteration decodes one AC symbol on every still-active lane
+        # and masked-stores at its zigzag row — ~2.7x fewer iterations than
+        # walking positions, at the price of a 64-row masked store. (A
+        # hot/cold split of the store at row 16 with a scalar any() gate
+        # measured ~1.8x SLOWER on the chip.)
+        hi, lo, nbits, widx = E_decode_mcu(
+            plan,
+            decode_symbol,
+            lambda slot, row, vec: coeff_s.__setitem__((slot, row), vec),
+            lambda slot: coeff_s.at[slot],
+            dp_s,
+            act,
+            hi,
+            lo,
+            nbits,
+            widx,
+            unroll=unroll,
+            _ablate=_ablate,
+        )
 
         hi_s[:], lo_s[:] = hi, lo
         nb_s[:], wi_s[:] = nbits, widx
