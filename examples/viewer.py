@@ -114,6 +114,12 @@ def main() -> None:
         "--preview-width", type=int, default=96,
         help="terminal columns for --preview",
     )
+    ap.add_argument(
+        "--scale", type=int, default=8, choices=(1, 2, 4, 8),
+        help="decode at scale/8 resolution (DCT-domain thumbnail decode; "
+        "1 = 1/8-scale DC-only previews, ~1.7x the full-decode rate and "
+        "64x less output — ideal for --preview)",
+    )
     ap.add_argument("--stats-every", type=int, default=30)
     ap.add_argument(
         "--platform",
@@ -175,18 +181,35 @@ def main() -> None:
     last = t0
     if args.preview:
         sys.stdout.write("\x1b[2J")  # clear once; frames overdraw in place
-    for out in dec.decode_iter(frames):
+
+    if args.scale != 8:
+        # Scaled decode path: per-frame thumbnail decodes (the preview use
+        # case — a 1/8-scale 4K frame is already smaller than the terminal).
+        def scaled_iter():
+            for data in frames:
+                yield dec._dec.decode_scaled(data, args.scale)
+
+        outs = scaled_iter()
+    else:
+        outs = dec.decode_iter(frames)
+    for out in outs:
+        if args.scale != 8:
+            rgb = out  # decode_scaled returns host RGB directly
+        else:
+            rgb = None
         if args.preview:
-            sys.stdout.write(render_ansi(dec.to_rgb(out), args.preview_width))
+            sys.stdout.write(render_ansi(
+                rgb if rgb is not None else dec.to_rgb(out),
+                args.preview_width))
             sys.stdout.write("\n")
             sys.stdout.flush()
         if args.save_dir:
             from PIL import Image
 
             os.makedirs(args.save_dir, exist_ok=True)
-            Image.fromarray(dec.to_rgb(out)).save(
-                os.path.join(args.save_dir, f"frame_{n:05d}.png")
-            )
+            Image.fromarray(
+                rgb if rgb is not None else dec.to_rgb(out)
+            ).save(os.path.join(args.save_dir, f"frame_{n:05d}.png"))
         n += 1
         if n % args.stats_every == 0:
             now = time.perf_counter()

@@ -99,3 +99,32 @@ def test_golden_scaled_rejects_non_float_idct():
                           restart_interval_mcus=1)
     with pytest.raises(CompegError):
         golden.decode_rgb(data, scale_blocks=4, idct="int")
+
+
+def test_viewer_scaled_preview(tmp_path):
+    """examples/viewer.py --scale 1 decodes 1/8-scale thumbnails end to end
+    (the preview use case)."""
+    import os
+    import subprocess
+    import sys
+
+    from compeg_tpu import encoder
+
+    frame = encoder.encode(_gradient(32, 64), sampling="422", quality=90,
+                           restart_interval_mcus=1)
+    src = tmp_path / "f.jpg"
+    src.write_bytes(frame)
+    outdir = tmp_path / "out"
+    root = os.path.join(os.path.dirname(__file__), "..")
+    r = subprocess.run(
+        [sys.executable, "examples/viewer.py", str(src), "--scale", "1",
+         "--save-dir", str(outdir), "--platform", "cpu"],
+        capture_output=True, timeout=300, cwd=root,
+        env=dict(os.environ, COMPEG_PLATFORM="cpu"),
+    )
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    from PIL import Image
+
+    pngs = sorted(outdir.glob("*.png"))
+    assert len(pngs) == 1
+    assert Image.open(pngs[0]).size == (8, 4)  # ceil(64/8) x ceil(32/8)
