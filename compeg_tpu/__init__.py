@@ -70,3 +70,11 @@ def decode_rgba(data: bytes, **kw):
     from .pipeline import decode_rgba as _decode
 
     return _decode(data, **kw)
+
+
+def decode_scaled(data: bytes, scale_blocks: int, **kw):
+    """Thumbnail decode at ``scale_blocks/8`` scale (k ∈ {1, 2, 4, 8}) —
+    the libjpeg ``scale_denom`` feature as a DCT-domain downsample."""
+    from .pipeline import Decoder
+
+    return Decoder(**kw).decode_scaled(data, scale_blocks)
