@@ -64,10 +64,18 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
                        unroll: int = 4, exact_idct: bool = False,
                        tiled: bool = False, planes: bool = False,
                        flat: bool = False, rgb: bool = False,
-                       precision: str = "highest", _ablate: str = ""):
+                       precision: str = "highest", _ablate: str = "",
+                       scale: int = 8, scaled_ops=None):
     W = plan.words_per_segment
     dus = plan.dus_per_mcu
-    mh, mw = _mcu_shape(samplings)
+    # ``scale`` = pixels per DU side (k of the k-point scaled IDCT; 8 =
+    # full decode). The entropy phase is identical at every scale; phase 2
+    # contracts the k-point operator and phase 3 composites k x k blocks.
+    blk = scale
+    max_v = max(sv for _, sv in samplings)
+    max_h = max(sh for sh, _ in samplings)
+    mh = blk * max_v
+    mw = blk * max_h
     layout = _slot_layout(samplings)
 
     def kernel(words_ref, segmcus_ref, l_ref, *out_and_scratch):
@@ -129,6 +137,28 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
         # ---- phase 2: fused dequant+IDCT per DU slot ---------------------
         if _ablate in ("noidct", "nop23"):
             pass
+        elif scale != 8:
+            # Scaled (thumbnail) IDCT: only the k x k low frequencies
+            # contribute, so the contraction is k^2 vector MACs per output
+            # pixel with the dequantized operator folded into COMPILE-TIME
+            # constants (scaled_ops[slot][p] = (zigzag positions, weights);
+            # the kernel is compiled per stream anyway). Pixels overwrite
+            # the first k^2 coefficient-scratch rows.
+            for slot in range(dus):
+                rows = []
+                for p in range(blk * blk):
+                    zzs, wts = scaled_ops[slot][p]
+                    acc = None
+                    for z, wt in zip(zzs, wts):
+                        term = coeff_s[slot, z].astype(F32) * F32(wt)
+                        acc = term if acc is None else acc + term
+                    if acc is None:
+                        acc = jnp.zeros((SUBLANES, LANES), F32)
+                    rows.append(
+                        jnp.clip(acc + F32(128.5), 0.0, 255.0).astype(I32)
+                    )
+                for p, row in enumerate(rows):
+                    coeff_s[slot, p] = row
         elif exact_idct:
             # Exact-integer mode: l_ref holds the broadcast int32 quantizers
             # [DUS, 64, 8, 128]; t_ref the limb-split integer pass operators.
@@ -258,9 +288,10 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
         chroma_terms = {}
 
         def rgba_at(r, x):
-            # luma slot + in-DU position (sampling-relative coordinates)
+            # luma slot + in-DU position (sampling-relative coordinates;
+            # blk = pixels per DU side, 8 full / k scaled)
             yslot = ys0 + (r * yv // mh) * yh + (x * yh // mw)
-            yp = (r * yv * 8 // mh % 8) * 8 + (x * yh * 8 // mw % 8)
+            yp = (r * yv * blk // mh % blk) * blk + (x * yh * blk // mw % blk)
             y = coeff_s[yslot, yp]
             if gray:
                 rr = gg = bb = y
@@ -268,14 +299,14 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
                 # Samples are already RGB (component IDs R,G,B): channels map
                 # straight through, nearest-sampled like chroma would be.
                 cs0, ch, cv = layout[1]
-                cp = (r * cv * 8 // mh) * 8 + (x * ch * 8 // mw)
+                cp = (r * cv * blk // mh) * blk + (x * ch * blk // mw)
                 rr = y
                 gg = coeff_s[cs0, cp]
                 bb = coeff_s[layout[2][0], cp]
             else:
                 cs0, ch, cv = layout[1]
                 cslot = cs0  # chroma is 1x1 in every supported sampling
-                cp = (r * cv * 8 // mh) * 8 + (x * ch * 8 // mw)
+                cp = (r * cv * blk // mh) * blk + (x * ch * blk // mw)
                 if cp not in chroma_terms:
                     cb = coeff_s[cslot, cp] - 128
                     cr = coeff_s[layout[2][0], cp] - 128
@@ -359,11 +390,30 @@ def _make_fused_kernel(plan: EntropyPlan, samplings, retained: int,
     return kernel
 
 
+def scaled_ops_static(qz_by_slot, k: int, retained: int = 64):
+    """Compile-time scaled-IDCT operator constants for the fused kernel:
+    per slot, per output pixel, the (zigzag positions, f32 weights) of the
+    nonzero columns of the dequant-folded k-point operator. Hashable (pure
+    tuples) so it rides the jit compile key like the Huffman tables do."""
+    from .luts import scaled_idct_dequant_matrices
+
+    Lq = scaled_idct_dequant_matrices(np.asarray(qz_by_slot), k, retained)
+    out = []
+    for d in range(Lq.shape[0]):
+        rows = []
+        for p in range(k * k):
+            zzs = tuple(int(z) for z in np.nonzero(Lq[d, p])[0])
+            wts = tuple(float(Lq[d, p, z]) for z in zzs)
+            rows.append((zzs, wts))
+        out.append(tuple(rows))
+    return tuple(out)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "plan", "samplings", "retained", "interpret", "exact_idct", "tiled",
-        "tiling", "precision", "rgb", "_ablate",
+        "tiling", "precision", "rgb", "_ablate", "scale", "scaled_ops",
     ),
 )
 def fused_decode_blocks(
@@ -383,6 +433,8 @@ def fused_decode_blocks(
     precision: str = "highest",
     rgb: bool = False,
     _ablate: str = "",
+    scale: int = 8,
+    scaled_ops=None,
 ) -> jax.Array:
     """Full fused decode, packed RGBA (r | g<<8 | b<<16 | a<<24) u32.
 
@@ -395,14 +447,19 @@ def fused_decode_blocks(
     G = plan.num_blocks
     W = plan.words_per_segment
     dus = plan.dus_per_mcu
-    mh, mw = _mcu_shape(samplings)
+    max_v = max(sv for _, sv in samplings)
+    max_h = max(sh for sh, _ in samplings)
+    mh, mw = scale * max_v, scale * max_h
+    if scale != 8 and (scaled_ops is None or tiling is None):
+        raise ValueError("scaled fused decode needs scaled_ops + tiling")
     # Interpret mode (tests) pays per-op tracing/execution costs; the unroll
     # only helps compiled TPU execution.
     kernel = _make_fused_kernel(plan, samplings, retained,
                                 unroll=1 if interpret else 8,
                                 exact_idct=exact_idct, tiled=tiled,
                                 flat=tiling is not None, rgb=rgb,
-                                precision=precision, _ablate=_ablate)
+                                precision=precision, _ablate=_ablate,
+                                scale=scale, scaled_ops=scaled_ops)
     if tiled and tiling is not None:
         n_tr, n_tc = tiling
         if n_tr * n_tc != G:

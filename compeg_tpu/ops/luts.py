@@ -94,6 +94,17 @@ def scaled_idct_matrix_zigzag(
     return Lz.astype(np.float32)
 
 
+def scaled_idct_dequant_matrices(
+    qz_by_slot: np.ndarray, k: int, retained_coefficients: int = 64
+) -> np.ndarray:
+    """Per-DU-slot fused dequant + k-point scaled IDCT operators:
+    ``[DUS, k*k, 64]`` f32 with ``pixels = Lq[d] @ coeff_zigzag`` (the
+    scaled analogue of :func:`idct_dequant_matrices`)."""
+    Lk = scaled_idct_matrix_zigzag(k, retained_coefficients)  # [k2, 64]
+    q = qz_by_slot.astype(np.float32)  # [DUS, 64] zigzag quantizers
+    return (Lk[None, :, :] * q[:, None, :]).astype(np.float32)
+
+
 def idct_matrix_zigzag(retained_coefficients: int = 64) -> np.ndarray:
     """``L`` with ``pixels_flat = L @ coeff_zigzag``: [64 raster, 64 zigzag].
 

@@ -273,6 +273,53 @@ def decode_frame_scaled(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=(
+        "plan", "geom", "scale_blocks", "retained", "interpret", "scaled_ops",
+    ),
+)
+def decode_frame_scaled_fused(
+    words: jax.Array,  # [G, W, 8, 128] uint32 (raster-tiled packing)
+    seg_mcus: jax.Array,  # [G, 8, 128] int32
+    plan: E.EntropyPlan,
+    geom: FrameGeometry,
+    scale_blocks: int,
+    retained: int = 64,
+    interpret: bool = False,
+    scaled_ops=None,
+) -> jax.Array:
+    """Scaled decode on the FUSED kernel (tiled packing): the entropy
+    phase runs unchanged, phase 2 contracts the k-point scaled operator as
+    compile-time-constant vector MACs, and phase 3 composites k x k pixel
+    blocks into the same raster-tiled slab + one minor-swap assembly as
+    the full decode. Returns packed RGBA u32 ``[ceil(H*k/8), ceil(W*k/8)]``.
+    """
+    import dataclasses
+
+    from .ops import fused as F
+
+    k = scale_blocks
+    blocks = F.fused_decode_blocks(
+        _as_blocks(words), seg_mcus, jnp_zero_operand(), plan,
+        geom.samplings, retained, interpret, False, tiled=True,
+        tiling=geom.tiling, rgb=geom.rgb, scale=k, scaled_ops=scaled_ops,
+    )
+    hs = -(-geom.height * k // 8)
+    ws = -(-geom.width * k // 8)
+    return F.assemble_image_tiled(
+        blocks, dataclasses.replace(geom, height=hs, width=ws)
+    )
+
+
+def jnp_zero_operand():
+    """Placeholder for the unused IDCT-operator operand of the scaled
+    fused kernel (the scaled operator rides compile-time constants)."""
+    import jax.numpy as jnp
+
+    return jnp.zeros((1,), jnp.float32)
+
+
+@functools.partial(
     jax.jit, static_argnames=("plan", "geom", "retained", "interpret")
 )
 def decode_frame_component_planes_staged(
@@ -818,6 +865,26 @@ class Decoder:
             raise CompegError(
                 f"scale_blocks must be 1, 2, 4, or 8 (got {scale_blocks})"
             )
+        # Fused scaled path: the main (tiled) preparer feeds the fused
+        # kernel with a k-point phase 2 + k x k composite — same cheap
+        # minor-swap assembly as the full decode. Fallback: the staged
+        # linear-slot path (untiled geometries / fused=False).
+        if self.fused:
+            pf = self.prepare(data)
+            if pf.geom.tiling is not None:
+                from .ops import fused as F
+
+                ops = F.scaled_ops_static(
+                    np.asarray(pf.qz_by_slot), scale_blocks, self.retained
+                )
+                out = decode_frame_scaled_fused(
+                    pf.words, pf.seg_mcus, pf.plan, pf.geom, scale_blocks,
+                    self.retained, self.interpret, ops,
+                )
+                v = np.asarray(out)
+                if not v.flags.c_contiguous:
+                    v = np.ascontiguousarray(v)
+                return np.ascontiguousarray(F.rgba_to_rgb_array(v))
         sdec = getattr(self, "_scaled_dec", None)
         if sdec is None:
             # fused=False: linear slot packing, which the staged entropy

@@ -128,3 +128,18 @@ def test_viewer_scaled_preview(tmp_path):
     pngs = sorted(outdir.glob("*.png"))
     assert len(pngs) == 1
     assert Image.open(pngs[0]).size == (8, 4)  # ceil(64/8) x ceil(32/8)
+
+
+def test_scaled_staged_fallback_untiled_geometry():
+    """A restart interval that doesn't divide the MCU-row width packs
+    linearly (no tiling) — scaled decode falls back to the staged path and
+    must still match the golden oracle."""
+    data = encoder.encode(_gradient(40, 56), sampling="422", quality=90,
+                          restart_interval_mcus=3)
+    dec = Decoder(interpret=True)
+    pf = dec.prepare(data)
+    assert pf.geom.tiling is None  # precondition for the fallback
+    for k in (1, 4):
+        got = dec.decode_scaled(data, k)
+        want = golden.decode_rgb(data, scale_blocks=k)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1, k
