@@ -331,10 +331,14 @@ def decode_mcu_coefficients(
                     jnp.broadcast_to(coeff[None], (64, SUBLANES, LANES)),
                     mask=iota_z == wrow[None],
                 )
-            # EOB and invalid symbols (s == 0, not ZRL) terminate the lane;
-            # ZRL and committed coefficients advance, finishing naturally
-            # once newpos >= 63.
-            pos = jnp.where((s == 0) & (rrrr != 15), 64, newpos)
+            # Only EOB (s == 0, rrrr == 0) terminates the lane. Every other
+            # s == 0 symbol — ZRL and the table-definable reserved (run, 0)
+            # bytes — advances rrrr + 1 positions committing nothing (the
+            # rows are pre-zeroed), exactly the golden/reference semantics
+            # (golden.py AC loop; src/huffman.wgsl:174-197): a custom DHT
+            # may legally map codes to reserved values, and the r1-r4
+            # kernels' lane-kill on them diverged from the oracle there.
+            pos = jnp.where((s == 0) & (rrrr == 0), 64, newpos)
             return pos, hi, lo, nbits, widx
 
         def cond(state):

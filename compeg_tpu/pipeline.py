@@ -473,9 +473,10 @@ class Decoder:
         # The fused single-kernel path (entropy+IDCT+color in VMEM) is the
         # fast path; the staged path remains for debugging/inspection.
         self.fused = fused
-        # Device-resident per-stream constants (quantizer broadcast + IDCT
-        # operator), keyed by the quantizer bytes.
-        self._const_cache: Dict[bytes, jax.Array] = {}
+        # Per-stream constants keyed by the quantizer bytes: device-resident
+        # quantizer broadcasts / IDCT operators, and the scaled-decode
+        # static operator tuples.
+        self._const_cache: Dict = {}
         # Device-resident seg_mcus (a pure function of stream geometry —
         # constant across frames, so upload it once).
         self._segmcus_cache: Dict[Tuple[int, int, int], jax.Array] = {}
@@ -853,49 +854,39 @@ class Decoder:
         """Thumbnail decode at ``scale_blocks/8`` scale (k ∈ {1, 2, 4, 8}):
         ``[ceil(H*k/8), ceil(W*k/8), 3]`` u8 RGB via the k-point scaled
         IDCT — the libjpeg ``scale_denom`` feature the reference lacks.
-        k=1 is the DC-only preview (entropy cost only; the IDCT/epilogue
-        shrink 64x). k=8 is the full decode.
+        k=8 is the full decode.
 
-        Scaled decode rides the staged (linear-slot) pipeline, so this
-        keeps a dedicated staged preparer whose caches are independent of
-        the fused full-decode path."""
+        Tiled geometries ride the FUSED kernel (k-point phase 2 + k x k
+        composite — entropy-bound, ~2.3x the full-decode rate at k=1);
+        untiled ones the staged linear-slot path. Both consume the main
+        preparer's output, so stream caches are shared with full decodes."""
         if scale_blocks == 8:
             return self.decode(data)
         if scale_blocks not in (1, 2, 4):
             raise CompegError(
                 f"scale_blocks must be 1, 2, 4, or 8 (got {scale_blocks})"
             )
-        # Fused scaled path: the main (tiled) preparer feeds the fused
-        # kernel with a k-point phase 2 + k x k composite — same cheap
-        # minor-swap assembly as the full decode. Fallback: the staged
-        # linear-slot path (untiled geometries / fused=False).
-        if self.fused:
-            pf = self.prepare(data)
-            if pf.geom.tiling is not None:
-                from .ops import fused as F
+        pf = self.prepare(data)
+        if self.fused and pf.geom.tiling is not None:
+            from .ops import fused as F
 
+            key = (b"scaledops", pf.qz_by_slot.tobytes(),
+                   scale_blocks, self.retained)
+            ops = self._const_cache.get(key)
+            if ops is None:
                 ops = F.scaled_ops_static(
                     np.asarray(pf.qz_by_slot), scale_blocks, self.retained
                 )
-                out = decode_frame_scaled_fused(
-                    pf.words, pf.seg_mcus, pf.plan, pf.geom, scale_blocks,
-                    self.retained, self.interpret, ops,
-                )
-                v = np.asarray(out)
-                if not v.flags.c_contiguous:
-                    v = np.ascontiguousarray(v)
-                return np.ascontiguousarray(F.rgba_to_rgb_array(v))
-        sdec = getattr(self, "_scaled_dec", None)
-        if sdec is None:
-            # fused=False: linear slot packing, which the staged entropy
-            # decode expects (the fused path's raster-tiled permutation
-            # would scramble the staged assembly).
-            sdec = Decoder(
-                self.retained, self.interpret, fused=False,
-                zrl_compat=self.zrl_compat, pack_threads=self.pack_threads,
+                self._const_cache[key] = ops
+            out = decode_frame_scaled_fused(
+                pf.words, pf.seg_mcus, pf.plan, pf.geom, scale_blocks,
+                self.retained, self.interpret, ops,
             )
-            self._scaled_dec = sdec
-        pf = sdec.prepare(data)
+            return np.ascontiguousarray(
+                F.rgba_to_rgb_array(np.asarray(out))
+            )
+        # Untiled geometry: the main preparer packed linear slots, which is
+        # exactly what the staged scaled decode consumes.
         return np.asarray(
             decode_frame_scaled(
                 pf.words, pf.seg_mcus, pf.qz_by_slot, pf.plan, pf.geom,

@@ -117,7 +117,7 @@ def main() -> None:
     ap.add_argument(
         "--scale", type=int, default=8, choices=(1, 2, 4, 8),
         help="decode at scale/8 resolution (DCT-domain thumbnail decode; "
-        "1 = 1/8-scale DC-only previews, ~1.7x the full-decode rate and "
+        "1 = 1/8-scale DC-only previews, ~2.3x the full-decode rate and "
         "64x less output — ideal for --preview)",
     )
     ap.add_argument("--stats-every", type=int, default=30)

@@ -89,3 +89,37 @@ def test_kernel_flat_image_eob_fastpath(test_image):
     got, meta = kernel_coefficients(data)
     want = golden.decode_coefficients(meta, dequant=False)
     assert np.array_equal(got, want)
+
+
+def test_reserved_ac_symbol_matches_golden_and_reference():
+    """A custom DHT may legally map codes to reserved (run, size=0) AC
+    values (not EOB/ZRL). Golden and the reference's kernel treat them as
+    'advance run+1 positions, commit nothing' and KEEP DECODING
+    (src/huffman.wgsl:174-197); the r1-r4 kernels killed the lane instead,
+    losing every later coefficient of the DU. Hand-built stream: gray 8x8,
+    flat qtable, AC table {'00': 0x30 reserved, '01': (0,1), '10': EOB},
+    scan = DC 0, reserved, +1 at position 5, EOB."""
+    import numpy as np
+
+    from compeg_tpu import analyze, golden
+    from compeg_tpu.pipeline import Decoder
+
+    dqt = bytes([0xFF, 0xDB, 0x00, 0x43, 0x00]) + bytes([1] * 64)
+    sof = bytes([0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x00, 0x08, 0x00, 0x08,
+                 0x01, 0x01, 0x11, 0x00])
+    dht_dc = bytes([0xFF, 0xC4, 0x00, 0x14, 0x00, 0x01] + [0] * 15 + [0x00])
+    dht_ac = bytes([0xFF, 0xC4, 0x00, 0x16, 0x10, 0x00, 0x03] + [0] * 14
+                   + [0x30, 0x01, 0x00])
+    sos = bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3F, 0x00])
+    scan = bytes([0b00001110])  # DC '0' | AC '00' '01' mag '1' '10'
+    data = b"\xFF\xD8" + dqt + sof + dht_dc + dht_ac + sos + scan + b"\xFF\xD9"
+
+    img = analyze(data)
+    coeffs = golden.decode_coefficients(img, dequant=False)
+    want = np.zeros(64, np.int32)
+    want[5] = 1  # the coefficient AFTER the reserved symbol
+    assert np.array_equal(coeffs[0], want), coeffs[0][:8]
+
+    got = Decoder(interpret=True).decode(data)
+    ref = golden.decode_rgb(data)
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
